@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Driver benchmark: rays/s/chip for forward+backward rasterization.
+
+Renders a ScanNet-scale scene (384x512, one per-pixel Gaussian per context
+pixel for 2 views = 393k Gaussians) through the Pallas tile rasterizer and
+differentiates an image loss — the BASELINE.json primary metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the first recorded run stored in
+``bench_baseline.json`` (self-relative; the reference repo publishes no
+numbers — see BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from freesplat_tpu.ops.gaussians import build_covariance
+    from freesplat_tpu.ops.rasterizer import rasterize
+
+    h, w = 384, 512
+    n = 2 * h * w  # 2-view per-pixel Gaussian budget
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(
+        rng.uniform([-3, -3, 0.8], [3, 3, 10], size=(n, 3)), dtype=jnp.float32
+    )
+    scales = jnp.asarray(rng.uniform(0.005, 0.03, size=(n, 3)), dtype=jnp.float32)
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    cov = build_covariance(scales, jnp.asarray(quats, dtype=jnp.float32))
+    harm = jnp.asarray(rng.normal(size=(n, 3, 9)) * 0.3, dtype=jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 1.0, size=n), dtype=jnp.float32)
+    extr = jnp.eye(4, dtype=jnp.float32)
+    intr = jnp.array(
+        [[1.07, 0, 0.5], [0, 1.42, 0.5], [0, 0, 1]], dtype=jnp.float32
+    )
+    bg = jnp.zeros(3)
+    target = jnp.asarray(rng.uniform(size=(h, w, 3)), dtype=jnp.float32)
+
+    def loss(m, c, hh, o):
+        color, depth, alpha = rasterize(
+            m, c, hh, o, extr, intr, (h, w), bg, 2, capacity=2 * n
+        )
+        return jnp.mean((color - target) ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
+    jax.block_until_ready(step(means, cov, harm, opac))  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(step(means, cov, harm, opac))
+        times.append(time.time() - t0)
+    dt = min(times)
+    rays_per_s = h * w / dt
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = rays_per_s
+        with open(baseline_path, "w") as f:
+            json.dump({"value": baseline, "unit": "rays/s/chip"}, f)
+
+    print(
+        json.dumps(
+            {
+                "metric": "rasterize_fwd_bwd",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s/chip",
+                "vs_baseline": round(rays_per_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

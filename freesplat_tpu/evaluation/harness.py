@@ -1,0 +1,196 @@
+"""Test/evaluation harness (reference ``ModelWrapper.test_step`` +
+``on_test_end``, ``src/model/model_wrapper.py:305-504``).
+
+Per scene: timed encoder forward -> chunked rendering of target views
+(50 per call) -> PSNR/SSIM (+LPIPS when < 100 frames) -> rendered-depth
+metrics vs sensor depth -> image dumps (FVS runs split into
+interpolation/extrapolation) -> weighted per-scene averages +
+benchmark.json / peak_memory.json / stats.json.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+from PIL import Image
+
+from ..config.config import RootCfg
+from ..models.decoder import render_views
+from ..models.encoder import EncoderFreeSplat
+from ..training.metrics import compute_psnr, compute_ssim, depth_metrics
+from ..training.trainer import TrainCfg, init_state
+from ..utils.benchmarker import Benchmarker
+from ..utils.ply_export import export_ply
+
+
+def _save_image(array: np.ndarray, path: Path) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(
+        (np.clip(np.asarray(array), 0, 1) * 255).astype(np.uint8)
+    ).save(path)
+
+
+def run_test(
+    cfg: RootCfg,
+    batches=None,
+    state: dict | None = None,
+    max_scenes: int | None = None,
+    lpips_params: Any = None,
+) -> dict[str, float]:
+    from ..main import make_batches  # late import to avoid cycle
+
+    out_dir = Path(cfg.test.output_path)
+    benchmarker = Benchmarker()
+    # Inference: freeze batch-norm statistics (the reference oddly keeps BN
+    # in train mode at test time via set_bn_eval; we use running averages).
+    encoder = EncoderFreeSplat(
+        dataclasses.replace(cfg.encoder, train_bn=False)
+    )
+
+    if batches is None:
+        batches = make_batches(cfg, "test")
+    if state is None:
+        train_cfg = TrainCfg(
+            encoder=cfg.encoder, decoder=cfg.decoder,
+            loss=cfg.loss, optimizer=cfg.optimizer,
+        )
+        first = next(batches)
+        state = init_state(train_cfg, jax.random.PRNGKey(cfg.seed), first)
+        if cfg.checkpointing.load is not None:
+            from ..training.checkpoint import latest_step, restore_checkpoint
+
+            step = latest_step(cfg.checkpointing.load)
+            if step is not None:
+                state = restore_checkpoint(
+                    cfg.checkpointing.load, step, state,
+                    strict=cfg.checkpointing.strict,
+                )
+
+        def stream():
+            yield first
+            yield from batches
+
+        batches = stream()
+
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+
+    @jax.jit
+    def encode(context):
+        return encoder.apply(variables, context)
+
+    per_scene: list[dict[str, float]] = []
+    chunk = cfg.test.render_chunk_size
+    for scene_i, batch in enumerate(batches):
+        if max_scenes is not None and scene_i >= max_scenes:
+            break
+        scene = batch["scene"][0]
+        context = {
+            k: v for k, v in batch["context"].items() if k != "test_fvs"
+        }
+        target = batch["target"]
+        h, w = target["image"].shape[2:4]
+        v = target["image"].shape[1]
+        test_fvs = int(target.get("test_fvs", 0) or 0)
+
+        with benchmarker.time("encoder"):
+            results = jax.block_until_ready(encode(context))
+
+        colors, depths = [], []
+        with benchmarker.time("decoder", num_calls=v):
+            for s in range(0, v, chunk):
+                sl = slice(s, min(s + chunk, v))
+                out = render_views(
+                    cfg.decoder,
+                    results["gaussians"],
+                    target["extrinsics"][:, sl],
+                    target["intrinsics"][:, sl],
+                    target["near"][:, sl],
+                    target["far"][:, sl],
+                    (h, w),
+                )
+                colors.append(np.asarray(out.color[0]))
+                depths.append(np.asarray(out.depth[0]))
+        color = np.concatenate(colors)  # (v, h, w, 3)
+        depth = np.concatenate(depths)
+        gt = np.asarray(target["image"][0])
+
+        entry: dict[str, float] = {
+            "scene": scene,
+            "num_views": v,
+            "num_gaussians": float(np.asarray(results["num_gaussians"])[0]),
+            "gs_ratio": float(np.asarray(results["gs_ratio"])[0]),
+        }
+
+        def metric_block(pred, truth, prefix=""):
+            psnr = float(np.mean(np.asarray(compute_psnr(truth, pred))))
+            ssim = float(np.mean(np.asarray(compute_ssim(truth, pred))))
+            entry[prefix + "psnr"] = psnr
+            entry[prefix + "ssim"] = ssim
+            if lpips_params is not None and pred.shape[0] < 100:
+                from ..training.lpips import LPIPS
+
+                entry[prefix + "lpips"] = float(
+                    np.mean(
+                        np.asarray(
+                            LPIPS().apply(lpips_params, pred, truth)
+                        )
+                    )
+                )
+
+        if test_fvs > 0:
+            # FVS: first test_fvs targets are extrapolation (mw:427-443).
+            metric_block(color[test_fvs:], gt[test_fvs:], "interpolation_")
+            metric_block(color[:test_fvs], gt[:test_fvs], "extrapolation_")
+        else:
+            metric_block(color, gt)
+
+        if cfg.test.eval_depth and "depth" in target:
+            dm = depth_metrics(
+                np.asarray(target["depth"][0]), depth
+            )
+            for k, val in dm.items():
+                entry[f"depth_{k}"] = float(val)
+
+        # Frame dumps (FVS split into interpolation/extrapolation dirs).
+        for vi in range(v):
+            sub = (
+                "extrapolation" if vi < test_fvs else "interpolation"
+            ) if test_fvs > 0 else "color"
+            _save_image(color[vi], out_dir / scene / sub / f"{vi:04}.png")
+            _save_image(gt[vi], out_dir / scene / sub / f"{vi:04}_gt.png")
+        for vi in range(context["image"].shape[1]):
+            _save_image(
+                np.asarray(context["image"][0, vi]),
+                out_dir / scene / "context" / f"{vi:04}.png",
+            )
+        per_scene.append(entry)
+        print(f"[test] {scene}: " + " ".join(
+            f"{k}={val:.4g}" for k, val in entry.items() if k != "scene"
+        ), flush=True)
+
+    # Weighted per-scene averages (weights = view counts; mw:479-504).
+    summary: dict[str, float] = {}
+    if per_scene:
+        weights = np.asarray([e["num_views"] for e in per_scene], np.float64)
+        for key in per_scene[0]:
+            if key in ("scene", "num_views"):
+                continue
+            vals = np.asarray([e.get(key, np.nan) for e in per_scene])
+            ok = np.isfinite(vals)
+            if ok.any():
+                summary[key] = float(
+                    np.sum(vals[ok] * weights[ok]) / np.sum(weights[ok])
+                )
+    benchmarker.dump(out_dir / "benchmark.json")
+    benchmarker.dump_memory(out_dir / "peak_memory.json")
+    (out_dir / "stats.json").parent.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "stats.json", "w") as f:
+        json.dump({"per_scene": per_scene, "summary": summary}, f, indent=2)
+    print("[test] summary:", json.dumps(summary, indent=2), flush=True)
+    return summary

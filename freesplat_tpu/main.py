@@ -1,0 +1,150 @@
+"""CLI entry point (reference ``src/main.py``).
+
+Usage mirrors the reference's Hydra surface:
+
+  python -m freesplat_tpu.main +experiment=scannet/2views
+  python -m freesplat_tpu.main +experiment=scannet/2views mode=test \
+      checkpointing.load=outputs/checkpoints dataset.roots=[datasets/scannet]
+
+With no dataset on disk, ``dataset.name=synthetic`` trains against the
+built-in synthetic Gaussian scenes (useful for smoke runs).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .config.config import RootCfg, load_config
+from .data.scannet import DatasetScannet, DatasetScannetCfg, data_loader
+from .data.synthetic import SyntheticCfg, synthetic_batches
+from .data.view_samplers import (
+    ViewSamplerBounded,
+    ViewSamplerBoundedCfg,
+    ViewSamplerEvaluation,
+    ViewSamplerEvaluationCfg,
+)
+from .training.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from .training.trainer import TrainCfg, fit, init_state
+from .utils.benchmarker import Benchmarker
+
+
+def make_view_sampler(cfg: RootCfg, stage: str):
+    if stage == "test" or cfg.dataset.view_sampler == "evaluation":
+        return ViewSamplerEvaluation(
+            ViewSamplerEvaluationCfg(index_path=cfg.dataset.evaluation_index_path)
+        )
+    return ViewSamplerBounded(
+        ViewSamplerBoundedCfg(
+            num_context_views=cfg.dataset.num_context_views,
+            random=cfg.dataset.fvt_random_contexts,
+        ),
+        stage=stage,
+        is_overfitting=cfg.dataset.overfit_to_scene is not None,
+        seed=cfg.data_loader.seed,
+    )
+
+
+def make_batches(cfg: RootCfg, stage: str, step_fn=None):
+    if cfg.dataset.name == "synthetic":
+        return synthetic_batches(
+            SyntheticCfg(
+                image_shape=cfg.dataset.image_shape,
+                num_context=cfg.dataset.num_context_views,
+                seed=cfg.data_loader.seed,
+            )
+        )
+    ds = DatasetScannet(
+        DatasetScannetCfg(
+            roots=tuple(cfg.dataset.roots),
+            image_shape=cfg.dataset.image_shape,
+            near=cfg.dataset.near,
+            far=cfg.dataset.far,
+            load_depth=cfg.dataset.load_depth,
+            overfit_to_scene=cfg.dataset.overfit_to_scene,
+        ),
+        stage,
+        make_view_sampler(cfg, stage),
+    )
+    return data_loader(
+        ds,
+        batch_size=cfg.data_loader.batch_size,
+        shuffle=stage == "train",
+        seed=cfg.data_loader.seed,
+        step_fn=step_fn,
+    )
+
+
+def train(cfg: RootCfg) -> None:
+    train_cfg = TrainCfg(
+        encoder=cfg.encoder,
+        decoder=cfg.decoder,
+        loss=cfg.loss,
+        optimizer=cfg.optimizer,
+        log_every=cfg.trainer.log_every,
+    )
+    current_step = {"value": 0}
+    batches = make_batches(cfg, "train", step_fn=lambda: current_step["value"])
+    first = next(batches)
+    state = init_state(train_cfg, jax.random.PRNGKey(cfg.seed), first)
+
+    ckpt_dir = cfg.checkpointing.output_dir
+    if cfg.checkpointing.load is not None:
+        step = latest_step(cfg.checkpointing.load)
+        if step is not None:
+            state = restore_checkpoint(
+                cfg.checkpointing.load, step, state,
+                strict=cfg.checkpointing.strict,
+            )
+            print(f"restored checkpoint step {step}")
+
+    def log_fn(step, metrics):
+        current_step["value"] = step
+        parts = " ".join(f"{k}={v:.5g}" for k, v in metrics.items())
+        print(f"train step {step}: {parts}", flush=True)
+
+    def checkpoint_fn(step, state):
+        save_checkpoint(ckpt_dir, step, state)
+
+    def batch_stream():
+        yield first
+        yield from batches
+
+    fit(
+        train_cfg,
+        state,
+        batch_stream(),
+        max_steps=cfg.trainer.max_steps,
+        log_fn=log_fn,
+        checkpoint_fn=checkpoint_fn,
+        checkpoint_every=cfg.checkpointing.every_n_train_steps,
+    )
+
+
+def test(cfg: RootCfg) -> None:
+    from .evaluation.harness import run_test
+
+    run_test(cfg)
+
+
+def main(argv: list[str] | None = None) -> None:
+    cfg = load_config(argv if argv is not None else sys.argv[1:])
+    np.random.seed(cfg.seed)
+    if cfg.mode == "train":
+        train(cfg)
+    elif cfg.mode == "test":
+        test(cfg)
+    else:
+        raise ValueError(f"unknown mode {cfg.mode}")
+
+
+if __name__ == "__main__":
+    main()

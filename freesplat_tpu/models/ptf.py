@@ -1,0 +1,206 @@
+"""Pixel-wise Triplet Fusion (PTF), redesigned with static shapes.
+
+Behavioral parity target: ``EncoderFreeSplat.fuse_gaussians``
+(reference ``encoder_freesplat.py:431-522``) — a sequential cross-view
+merge: project the global Gaussian set into each new view, z-buffer to one
+winner per pixel, match pixels whose predicted depth agrees with the
+projected depth (|dz| < max(5% d, 0.1)), fuse matched pairs' latent
+features with a GRU and density-weighted averages, and append unmatched
+pixels as new Gaussians.
+
+The reference implementation boolean-compacts tensors every view (dynamic
+shapes).  This redesign is XLA-native:
+
+- The global set lives in a fixed buffer of V*H*W slots with a validity
+  mask; view i's pixels own slots [i*HW, (i+1)*HW).
+- "Remove + re-append fused" becomes an in-place overwrite of the winning
+  slot; a merged-away pixel's own slot simply stays invalid.
+- The z-buffer is a ``segment_min`` over slots; the winner map is a
+  scatter; all per-view work (GRU included) is bounded by HW, not V*HW.
+- Views are processed in a python loop over the static view count (each
+  iteration is identical-shape compute; XLA sees a fixed-depth chain).
+
+The GRU is applied through a passed-in closure so this module stays purely
+functional over parameters.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .networks import positional_encoding
+
+
+class PTFState(NamedTuple):
+    """Global Gaussian buffer; G = num_views * H * W slots."""
+
+    feat: jnp.ndarray  # (G, C) latent features
+    coords: jnp.ndarray  # (G, 3) world positions
+    density: jnp.ndarray  # (G, 1) accumulated densities
+    weight: jnp.ndarray  # (G, 1) accumulated depth-confidence weights
+    depth: jnp.ndarray  # (G,) fused depth (current-view metric)
+    extrinsics: jnp.ndarray  # (G, 4, 4) density-weighted c2w average
+    valid: jnp.ndarray  # (G,) bool
+
+
+def _project_to_view(
+    coords: jnp.ndarray,  # (G, 3) world
+    extrinsic: jnp.ndarray,  # (4, 4) c2w of the view
+    intrinsic: jnp.ndarray,  # (3, 3) normalized
+    image_shape: tuple[int, int],
+):
+    """Returns (pixel_index (G,), depth (G,), in_bounds (G,))."""
+    h, w = image_shape
+    w2c = jnp.linalg.inv(extrinsic)
+    cam = jnp.einsum("ij,gj->gi", w2c[:3, :3], coords) + w2c[:3, 3]
+    z = cam[:, 2]
+    fx, fy = intrinsic[0, 0] * w, intrinsic[1, 1] * h
+    cx, cy = intrinsic[0, 2] * w, intrinsic[1, 2] * h
+    u = cam[:, 0] / z * fx + cx
+    v = cam[:, 1] / z * fy + cy
+    # Reference rounds to nearest integer pixel (encoder_freesplat.py:460).
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_bounds = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h) & (z > 0)
+    pix = jnp.where(in_bounds, vi * w + ui, h * w)  # sentinel h*w
+    return pix, z, in_bounds
+
+
+def fuse_views(
+    feats: jnp.ndarray,  # (V, HW, C) per-view latent features
+    coords: jnp.ndarray,  # (V, HW, 3) per-pixel world means
+    densities: jnp.ndarray,  # (V, HW, 1)
+    weights: jnp.ndarray,  # (V, HW, 1) depth confidence
+    depths: jnp.ndarray,  # (V, HW) predicted depths
+    extrinsics: jnp.ndarray,  # (V, 4, 4)
+    intrinsics: jnp.ndarray,  # (V, 3, 3) normalized
+    image_shape: tuple[int, int],
+    gru_apply: Callable[..., jnp.ndarray],
+    depth_thres: float = 0.1,
+    pe_freqs: int = 6,
+) -> PTFState:
+    """Run PTF over all views; returns the fused global buffer."""
+    v, hw, c = feats.shape
+    g = v * hw
+
+    def slot_range(i):
+        return slice(i * hw, (i + 1) * hw)
+
+    state = PTFState(
+        feat=jnp.zeros((g, c), feats.dtype).at[slot_range(0)].set(feats[0]),
+        coords=jnp.zeros((g, 3), coords.dtype).at[slot_range(0)].set(coords[0]),
+        density=jnp.zeros((g, 1), densities.dtype)
+        .at[slot_range(0)]
+        .set(densities[0]),
+        weight=jnp.zeros((g, 1), weights.dtype).at[slot_range(0)].set(weights[0]),
+        depth=jnp.zeros((g,), depths.dtype).at[slot_range(0)].set(depths[0]),
+        extrinsics=jnp.zeros((g, 4, 4), extrinsics.dtype)
+        .at[slot_range(0)]
+        .set(jnp.broadcast_to(extrinsics[0], (hw, 4, 4))),
+        valid=jnp.zeros((g,), bool).at[slot_range(0)].set(True),
+    )
+
+    for i in range(1, v):
+        state = _fuse_one_view(
+            state, i, hw,
+            feats[i], coords[i], densities[i], weights[i], depths[i],
+            extrinsics[i], intrinsics[i], image_shape,
+            gru_apply, depth_thres, pe_freqs,
+        )
+    return state
+
+
+def _fuse_one_view(
+    state: PTFState, i: int, hw: int,
+    feat_i, coords_i, density_i, weight_i, depth_i,
+    extrinsic_i, intrinsic_i, image_shape,
+    gru_apply, depth_thres, pe_freqs,
+) -> PTFState:
+    g = state.feat.shape[0]
+
+    pix, z, in_bounds = _project_to_view(
+        state.coords, extrinsic_i, intrinsic_i, image_shape
+    )
+    proj_ok = in_bounds & state.valid
+    seg = jnp.where(proj_ok, pix, hw)
+
+    # Z-buffer: nearest projecting slot per pixel (reference's
+    # scatter_reduce amin, :462-466).
+    zmin = jax.ops.segment_min(
+        jnp.where(proj_ok, z, jnp.inf), seg, num_segments=hw + 1
+    )[:hw]
+
+    # Winner slot per pixel (exact-equality tie like the reference).
+    is_winner = proj_ok & (z == zmin[jnp.clip(pix, 0, hw - 1)])
+    winner = jnp.full((hw,), g, jnp.int32)  # sentinel g
+    winner = winner.at[jnp.where(is_winner, pix, hw)].set(
+        jnp.arange(g, dtype=jnp.int32), mode="drop"
+    )
+    has_winner = winner < g
+
+    # Depth-consistency match (|zbuf - pred| < max(5% pred, thres)).
+    zbuf = jnp.where(jnp.isfinite(zmin), zmin, 1e4)
+    fusion_mask = jnp.abs(zbuf - depth_i) < jnp.maximum(
+        depth_i * 0.05, depth_thres
+    )
+    matched = fusion_mask & has_winner  # (HW,) pixels that merge
+
+    # Gather the matched global slots' data (safe index for unmatched).
+    wsafe = jnp.where(matched, winner, 0)
+    g_feat = state.feat[wsafe]
+    g_density = state.density[wsafe]
+    g_weight = state.weight[wsafe]
+    g_coords = state.coords[wsafe]
+    g_depth = state.depth[wsafe]
+    g_extr = state.extrinsics[wsafe]
+
+    # GRU latent fusion (reference :484-506): input = view pixel feature,
+    # hidden = global feature; embeddings are PE of (density, weight) pairs.
+    in_emb = positional_encoding(
+        jnp.concatenate([g_density, weight_i], axis=-1), pe_freqs
+    )
+    hid_emb = positional_encoding(
+        jnp.concatenate([density_i, g_weight], axis=-1), pe_freqs
+    )
+    fused_feat = gru_apply(feat_i, g_feat, in_emb, hid_emb)
+
+    w0 = g_density  # (HW, 1)
+    w1 = density_i
+    denom = w0 + w1
+    fused_coords = (g_coords * w0 + coords_i * w1) / denom
+    fused_density = g_density + density_i
+    fused_weight = g_weight + weight_i
+    fused_extr = (g_extr * w0[..., None] + extrinsic_i[None] * w1[..., None]) / (
+        denom[..., None]
+    )
+    fused_depth = (g_depth * w0[:, 0] + depth_i * w1[:, 0]) / denom[:, 0]
+
+    # Scatter fused values back into the winning slots.
+    widx = jnp.where(matched, winner, g)  # sentinel drops
+    state = state._replace(
+        feat=state.feat.at[widx].set(fused_feat, mode="drop"),
+        coords=state.coords.at[widx].set(fused_coords, mode="drop"),
+        density=state.density.at[widx].set(fused_density, mode="drop"),
+        weight=state.weight.at[widx].set(fused_weight, mode="drop"),
+        depth=state.depth.at[widx].set(fused_depth, mode="drop"),
+        extrinsics=state.extrinsics.at[widx].set(fused_extr, mode="drop"),
+    )
+
+    # Unmerged pixels of view i claim their own slots (reference's append,
+    # :508-519 — unmatched = pixels outside fusion_mask).
+    new = ~fusion_mask  # (HW,)
+    sl = slice(i * hw, (i + 1) * hw)
+    state = state._replace(
+        feat=state.feat.at[sl].set(jnp.where(new[:, None], feat_i, 0.0)),
+        coords=state.coords.at[sl].set(jnp.where(new[:, None], coords_i, 0.0)),
+        density=state.density.at[sl].set(jnp.where(new[:, None], density_i, 0.0)),
+        weight=state.weight.at[sl].set(jnp.where(new[:, None], weight_i, 0.0)),
+        depth=state.depth.at[sl].set(jnp.where(new, depth_i, 0.0)),
+        extrinsics=state.extrinsics.at[sl].set(
+            jnp.where(new[:, None, None], extrinsic_i[None], 0.0)
+        ),
+        valid=state.valid.at[sl].set(new),
+    )
+    return state

@@ -8,12 +8,14 @@ termination (which also affects the background term).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .rendering import (
     ALPHA_MAX,
     ALPHA_MIN,
     Screen,
+    TILE,
     TRANSMITTANCE_EPS,
     preprocess_gaussians,
 )
@@ -23,6 +25,7 @@ def composite_reference(
     screen: Screen,
     image_shape: tuple[int, int],
     background: jnp.ndarray,  # (3,)
+    tile_cull: int | None = TILE,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Composite preprocessed Gaussians over the full image.
 
@@ -54,6 +57,30 @@ def composite_reference(
     alpha = jnp.minimum(ALPHA_MAX, opac[:, None, None] * jnp.exp(power))
     alpha = jnp.where(power > 0.0, 0.0, alpha)
     skip = (alpha < ALPHA_MIN) | ~mask[:, None, None]
+
+    if tile_cull is not None:
+        # Mirror the tile rasterizer (and the CUDA spec): a Gaussian only
+        # touches pixels whose tile lies inside its 3-sigma radius rect.
+        radius = screen.radii[order]
+        tw = -(-w // tile_cull)
+        th = -(-h // tile_cull)
+        gx0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_cull), 0, tw)
+        gy0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_cull), 0, th)
+        gx1 = jnp.clip(
+            jnp.floor((mean2d[:, 0] + radius + tile_cull - 1) / tile_cull), 0, tw
+        )
+        gy1 = jnp.clip(
+            jnp.floor((mean2d[:, 1] + radius + tile_cull - 1) / tile_cull), 0, th
+        )
+        ptx = jnp.floor(px / tile_cull)  # (h, w)
+        pty = jnp.floor(py / tile_cull)
+        inside = (
+            (ptx[None] >= gx0[:, None, None])
+            & (ptx[None] < gx1[:, None, None])
+            & (pty[None] >= gy0[:, None, None])
+            & (pty[None] < gy1[:, None, None])
+        )
+        skip = skip | ~inside
     eff_alpha = jnp.where(skip, 0.0, alpha)
 
     # Exclusive running transmittance T_g = prod_{j<g} (1 - a_j).
@@ -70,8 +97,14 @@ def composite_reference(
     alive = jnp.cumprod((test >= TRANSMITTANCE_EPS).astype(mean2d.dtype), axis=0)
 
     weight = eff_alpha * t_excl * alive  # (n, h, w)
-    out_color = jnp.einsum("nhw,nc->hwc", weight, color)
-    out_depth = jnp.einsum("nhw,n->hw", weight, depth)
+    # HIGHEST: on TPU, default-precision f32 einsum routes through the MXU
+    # at reduced precision; the golden model must be exact.
+    out_color = jnp.einsum(
+        "nhw,nc->hwc", weight, color, precision=jax.lax.Precision.HIGHEST
+    )
+    out_depth = jnp.einsum(
+        "nhw,n->hw", weight, depth, precision=jax.lax.Precision.HIGHEST
+    )
     t_final = jnp.exp(jnp.sum(jnp.log1p(-eff_alpha * alive), axis=0))
     out_color = out_color + t_final[..., None] * background
     return out_color, out_depth, 1.0 - t_final
@@ -87,10 +120,11 @@ def render_reference(
     image_shape: tuple[int, int],
     background: jnp.ndarray,
     sh_degree: int,
+    tile_cull: int | None = TILE,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Render one view. Returns (color (h, w, 3), depth (h, w), alpha (h, w))."""
     screen = preprocess_gaussians(
         means, covariances, harmonics, opacities, extrinsics, intrinsics,
         image_shape, sh_degree,
     )
-    return composite_reference(screen, image_shape, background)
+    return composite_reference(screen, image_shape, background, tile_cull=tile_cull)

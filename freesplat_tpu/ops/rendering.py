@@ -26,9 +26,11 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..geometry.projection import get_fov, homogenize_points
+from .mathutil import safe_normalize
 from .sh import eval_sh
 
 # CUDA rasterizer constants.
+TILE = 32  # pixels per rasterizer tile side (binning granularity)
 NEAR_CULL_Z = 0.2
 DILATION = 0.3
 ALPHA_MIN = 1.0 / 255.0
@@ -112,6 +114,9 @@ def preprocess_gaussians(
     cam_pts = jnp.einsum("ij,nj->ni", w2c, homogenize_points(means))[:, :3]
     depths = cam_pts[:, 2]
     in_front = depths > NEAR_CULL_Z
+    # Culled Gaussians are masked out downstream, but their intermediate
+    # values must stay finite: 0-cotangent * inf = NaN in the backward.
+    z_safe = jnp.where(in_front, depths, 1.0)
 
     # Full projection to pixel coordinates.  near/far only affect the z row of
     # the projection matrix, which the rasterizer never reads back — use fixed
@@ -121,7 +126,7 @@ def preprocess_gaussians(
     proj = get_projection_matrix(near, far, fov_x, fov_y)
     full_proj = proj @ w2c
     p_hom = jnp.einsum("ij,nj->ni", full_proj, homogenize_points(means))
-    p_w = 1.0 / (p_hom[:, 3] + eps)
+    p_w = 1.0 / jnp.where(in_front, p_hom[:, 3] + eps, 1.0)
     ndc = p_hom[:, :2] * p_w[:, None]
     means2d = jnp.stack(
         [((ndc[:, 0] + 1.0) * w - 1.0) * 0.5, ((ndc[:, 1] + 1.0) * h - 1.0) * 0.5],
@@ -131,22 +136,26 @@ def preprocess_gaussians(
     # EWA: J W Sigma W^T J^T with the CUDA clamping of the tangent-plane coords.
     lim_x = 1.3 * tan_fov_x
     lim_y = 1.3 * tan_fov_y
-    tz = depths
+    tz = z_safe
     tx = jnp.clip(cam_pts[:, 0] / tz, -lim_x, lim_x) * tz
     ty = jnp.clip(cam_pts[:, 1] / tz, -lim_y, lim_y) * tz
-    zeros = jnp.zeros_like(tz)
-    j_mat = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zeros, -(focal_x * tx) / (tz * tz)], -1),
-            jnp.stack([zeros, focal_y / tz, -(focal_y * ty) / (tz * tz)], -1),
-        ],
-        axis=-2,
-    )  # (n, 2, 3)
-    jw = j_mat @ w2c[:3, :3]  # (n, 2, 3)
-    cov2d = jw @ covariances @ jnp.swapaxes(jw, -1, -2)  # (n, 2, 2)
-    a = cov2d[:, 0, 0] + DILATION
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + DILATION
+    # Row vectors of J @ W_rot, written elementwise: XLA lowers per-element
+    # (n, 2, 3) @ (n, 3, 3) batched matmuls poorly on TPU, while these fused
+    # elementwise forms are pure VPU work.
+    j00 = focal_x / tz
+    j02 = -(focal_x * tx) / (tz * tz)
+    j11 = focal_y / tz
+    j12 = -(focal_y * ty) / (tz * tz)
+    rot = w2c[:3, :3]
+    # jw row 0 = j00 * R[0, :] + j02 * R[2, :]; row 1 = j11*R[1,:] + j12*R[2,:]
+    jw0 = j00[:, None] * rot[0][None, :] + j02[:, None] * rot[2][None, :]
+    jw1 = j11[:, None] * rot[1][None, :] + j12[:, None] * rot[2][None, :]
+    # cov2d entries: jw_i . Sigma . jw_j
+    sig0 = jnp.einsum("nij,nj->ni", covariances, jw0)
+    sig1 = jnp.einsum("nij,nj->ni", covariances, jw1)
+    a = jnp.sum(jw0 * sig0, axis=-1) + DILATION
+    b = jnp.sum(jw0 * sig1, axis=-1)
+    c = jnp.sum(jw1 * sig1, axis=-1) + DILATION
 
     det = a * c - b * b
     nondegenerate = det > 0.0
@@ -160,8 +169,7 @@ def preprocess_gaussians(
 
     # SH -> RGB from the direction campos -> gaussian.
     campos = extrinsics[:3, 3]
-    dirs = means - campos
-    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + eps)
+    dirs = safe_normalize(means - campos)
     colors = jnp.maximum(eval_sh(harmonics, dirs, sh_degree) + 0.5, 0.0)
 
     mask = in_front & nondegenerate & (radii > 0)

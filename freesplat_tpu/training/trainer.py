@@ -1,0 +1,162 @@
+"""Training runtime: jitted train step + host loop + checkpointing.
+
+The TPU-native replacement for the reference's PyTorch-Lightning
+``ModelWrapper`` (``src/model/model_wrapper.py``): one jitted
+``train_step`` (encoder -> render -> loss -> grad -> optax update), a
+plain host loop with step tracking (the reference needed a shared-memory
+StepTracker to reach dataloader workers; here sampling happens in the
+host loop so the step is just a value), and orbax checkpointing with
+non-strict partial restore.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core as flax_core
+
+from ..models.decoder import DecoderCfg, render_views
+from ..models.encoder import EncoderFreeSplat, EncoderFreeSplatCfg
+from .losses import LossCfg, total_loss
+from .metrics import compute_psnr
+from .schedule import OptimizerCfg, make_optimizer
+
+
+@dataclass(frozen=True)
+class TrainCfg:
+    encoder: EncoderFreeSplatCfg = field(default_factory=EncoderFreeSplatCfg)
+    decoder: DecoderCfg = field(default_factory=DecoderCfg)
+    loss: LossCfg = field(default_factory=LossCfg)
+    optimizer: OptimizerCfg = field(default_factory=OptimizerCfg)
+    log_every: int = 10
+
+
+class TrainState(flax_core.FrozenDict):
+    pass
+
+
+def init_state(cfg: TrainCfg, rng: jax.Array, example_batch: dict) -> dict:
+    encoder = EncoderFreeSplat(cfg.encoder)
+    variables = encoder.init(rng, example_batch["context"])
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg.optimizer)
+    opt_state = tx.init(params)
+    return {
+        "params": params,
+        "batch_stats": batch_stats,
+        "opt_state": opt_state,
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_train_step(
+    cfg: TrainCfg, lpips_params: Any = None
+) -> Callable[[dict, dict], tuple[dict, dict]]:
+    encoder = EncoderFreeSplat(cfg.encoder)
+    tx = make_optimizer(cfg.optimizer)
+
+    def loss_fn(params, batch_stats, batch, step):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if batch_stats else []
+        results, updates = encoder.apply(
+            variables, batch["context"], mutable=mutable
+        )
+        target = batch["target"]
+        h, w = target["image"].shape[2:4]
+        output = render_views(
+            cfg.decoder,
+            results["gaussians"],
+            target["extrinsics"],
+            target["intrinsics"],
+            target["near"],
+            target["far"],
+            (h, w),
+        )
+        loss, parts = total_loss(
+            cfg.loss, output.color, target["image"], step, lpips_params
+        )
+        new_stats = updates.get("batch_stats", batch_stats) if mutable else batch_stats
+        aux = {
+            "loss_parts": parts,
+            "psnr": compute_psnr(
+                target["image"].reshape(-1, h, w, 3),
+                output.color.reshape(-1, h, w, 3),
+            ).mean(),
+            "gs_ratio": jnp.mean(results["gs_ratio"]),
+            "num_gaussians": jnp.mean(
+                results["num_gaussians"].astype(jnp.float32)
+            ),
+            "batch_stats": new_stats,
+        }
+        return loss, aux
+
+    @jax.jit
+    def train_step(state: dict, batch: dict):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], state["batch_stats"], batch, state["step"]
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "batch_stats": aux["batch_stats"],
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        metrics = {
+            "loss": loss,
+            "psnr": aux["psnr"],
+            "gs_ratio": aux["gs_ratio"],
+            "num_gaussians": aux["num_gaussians"],
+            **{f"loss_{k}": v for k, v in aux["loss_parts"].items()},
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def fit(
+    cfg: TrainCfg,
+    state: dict,
+    batches: Iterator[dict],
+    max_steps: int,
+    lpips_params: Any = None,
+    log_fn: Callable[[int, dict], None] | None = None,
+    checkpoint_fn: Callable[[int, dict], None] | None = None,
+    checkpoint_every: int = 10_000,
+) -> dict:
+    """Host training loop (the Lightning-fit equivalent)."""
+    train_step = make_train_step(cfg, lpips_params)
+    t0 = time.time()
+    for batch in batches:
+        step = int(state["step"])
+        if step >= max_steps:
+            break
+        # Strip host-only fields (scene names, fvs split) before jit.
+        array_batch = {
+            k: {
+                kk: vv
+                for kk, vv in v.items()
+                if kk not in ("test_fvs",)
+            }
+            for k, v in batch.items()
+            if k in ("context", "target")
+        }
+        state, metrics = train_step(state, array_batch)
+        if log_fn is not None and step % cfg.log_every == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["steps_per_s"] = cfg.log_every / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            log_fn(step, metrics)
+        if checkpoint_fn is not None and step > 0 and step % checkpoint_every == 0:
+            checkpoint_fn(step, state)
+    return state

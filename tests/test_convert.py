@@ -1,0 +1,138 @@
+"""Weight-conversion tests: fake torch state dicts with the right shapes
+must map exactly onto the flax module parameter trees."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freesplat_tpu.models.backbone import (
+    EFFNETV2_S_CONFIG,
+    EfficientNetV2S,
+    FEATURE_CHANNELS,
+    STEM_CH,
+)
+from freesplat_tpu.training.lpips import LPIPS
+from freesplat_tpu.utils.torch_convert import (
+    _VGG16_CONV_IDX,
+    convert_efficientnetv2_s,
+    convert_lpips_vgg,
+)
+
+
+def fake_effnet_state_dict(rng):
+    """Build a timm-shaped state dict from scratch (O,I,kh,kw convs)."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        scale = 1.0 / np.sqrt(i * k * k)  # keep activations bounded
+        sd[f"{name}.weight"] = (
+            rng.normal(size=(o, i, k, k)) * scale
+        ).astype(np.float32)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_mean"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_var"] = rng.uniform(0.5, 2, size=c).astype(np.float32)
+
+    conv("conv_stem", STEM_CH, 3, 3)
+    bn("bn1", STEM_CH)
+    in_ch = STEM_CH
+    for si, (btype, k, _s, e, ch, n, se) in enumerate(EFFNETV2_S_CONFIG):
+        for bi in range(n):
+            t = f"blocks.{si}.{bi}"
+            if btype == "fused":
+                if e == 1:
+                    conv(f"{t}.conv", ch, in_ch, k)
+                    bn(f"{t}.bn1", ch)
+                else:
+                    conv(f"{t}.conv_exp", in_ch * e, in_ch, k)
+                    bn(f"{t}.bn1", in_ch * e)
+                    conv(f"{t}.conv_pwl", ch, in_ch * e, 1)
+                    bn(f"{t}.bn2", ch)
+            else:
+                mid = in_ch * e
+                conv(f"{t}.conv_pw", mid, in_ch, 1)
+                bn(f"{t}.bn1", mid)
+                sd[f"{t}.conv_dw.weight"] = (
+                    rng.normal(size=(mid, 1, k, k)) / np.sqrt(k * k)
+                ).astype(np.float32)
+                bn(f"{t}.bn2", mid)
+                if se > 0:
+                    red = max(1, int(in_ch * se))
+                    conv(f"{t}.se.conv_reduce", red, mid, 1)
+                    sd[f"{t}.se.conv_reduce.bias"] = np.zeros(red, np.float32)
+                    conv(f"{t}.se.conv_expand", mid, red, 1)
+                    sd[f"{t}.se.conv_expand.bias"] = np.zeros(mid, np.float32)
+                conv(f"{t}.conv_pwl", ch, mid, 1)
+                bn(f"{t}.bn3", ch)
+            in_ch = ch
+    return sd
+
+
+def test_effnet_conversion_loads_and_runs():
+    rng = np.random.default_rng(0)
+    sd = fake_effnet_state_dict(rng)
+    params, stats = convert_efficientnetv2_s(sd)
+
+    module = EfficientNetV2S(train_bn=False)
+    x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    ref_vars = module.init(jax.random.PRNGKey(0), x)
+
+    # Structural match: identical flattened paths and shapes.
+    def flat(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = tuple(np.shape(v))
+        return out
+
+    assert flat(dict(ref_vars["params"])) == flat(params)
+
+    feats = module.apply(
+        {"params": params, "batch_stats": stats}, x
+    )
+    assert [f.shape[-1] for f in feats] == list(FEATURE_CHANNELS)
+    assert all(np.isfinite(np.asarray(f)).all() for f in feats)
+
+
+def test_lpips_conversion_loads_and_runs():
+    rng = np.random.default_rng(1)
+    sd = {}
+    chans = [(3, 64, 64), (64, 128, 128), (128, 256, 256, 256),
+             (256, 512, 512, 512), (512, 512, 512, 512)]
+    for bi, conv_ids in enumerate(_VGG16_CONV_IDX):
+        io = chans[bi]
+        for ci, idx in enumerate(conv_ids):
+            sd[f"net.slice{bi + 1}.{idx}.weight"] = rng.normal(
+                size=(io[ci + 1], io[ci], 3, 3)
+            ).astype(np.float32)
+            sd[f"net.slice{bi + 1}.{idx}.bias"] = np.zeros(
+                io[ci + 1], np.float32
+            )
+    for li, c in enumerate([64, 128, 256, 512, 512]):
+        sd[f"lins.{li}.model.1.weight"] = rng.uniform(
+            0, 1, size=(1, c, 1, 1)
+        ).astype(np.float32)
+
+    variables = convert_lpips_vgg(sd)
+    module = LPIPS()
+    img = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    ref_vars = module.init(jax.random.PRNGKey(0), img, img)
+    def flat(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = tuple(np.shape(v))
+        return out
+
+    assert flat(dict(ref_vars["params"])) == flat(variables["params"])
+
+    d = module.apply(variables, img, img)
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+    other = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    d2 = module.apply(variables, img, other)
+    assert float(d2[0]) > 0

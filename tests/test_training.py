@@ -1,0 +1,139 @@
+"""Tests for metrics, losses, schedule, and checkpointing."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freesplat_tpu.training.losses import (
+    LossCfg,
+    LossLpipsCfg,
+    LossMseCfg,
+    lpips_loss,
+    total_loss,
+)
+from freesplat_tpu.training.lpips import LPIPS
+from freesplat_tpu.training.metrics import (
+    compute_psnr,
+    compute_ssim,
+    depth_metrics,
+)
+from freesplat_tpu.training.schedule import OptimizerCfg, make_schedule
+
+
+def test_psnr_known_value():
+    gt = jnp.zeros((1, 8, 8, 3))
+    pred = jnp.full((1, 8, 8, 3), 0.1)
+    # MSE = 0.01 -> PSNR = 20 dB
+    np.testing.assert_allclose(np.asarray(compute_psnr(gt, pred)), [20.0], atol=1e-4)
+
+
+def test_psnr_clips_input():
+    gt = jnp.ones((1, 4, 4, 3))
+    pred = jnp.full((1, 4, 4, 3), 2.0)  # clipped to 1 -> identical
+    assert float(compute_psnr(gt, pred)[0]) > 99
+
+
+def test_ssim_identity_and_noise():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), dtype=jnp.float32)
+    ssim_same = compute_ssim(img, img)
+    np.testing.assert_allclose(np.asarray(ssim_same), 1.0, atol=1e-5)
+    noisy = jnp.clip(img + 0.2 * rng.normal(size=img.shape).astype(np.float32), 0, 1)
+    ssim_noisy = compute_ssim(img, noisy)
+    assert np.all(np.asarray(ssim_noisy) < 0.9)
+    blurrier = jnp.clip(img + 0.05 * rng.normal(size=img.shape).astype(np.float32), 0, 1)
+    assert np.all(np.asarray(compute_ssim(img, blurrier)) > np.asarray(ssim_noisy))
+
+
+def test_depth_metrics_perfect_and_masked():
+    gt = jnp.full((1, 8, 8), 2.0)
+    m = depth_metrics(gt, gt)
+    assert float(m["abs_diff"]) == 0.0
+    assert float(m["delta_25"]) == 1.0
+    # Invalid gt (<= 0.5) is ignored.
+    gt2 = gt.at[0, 0, 0].set(0.0)
+    pred = gt.at[0, 0, 0].set(100.0)
+    m2 = depth_metrics(gt2, pred)
+    assert float(m2["abs_diff"]) == 0.0
+
+
+def test_total_loss_mse_only():
+    pred = jnp.zeros((1, 1, 8, 8, 3))
+    target = jnp.full_like(pred, 0.5)
+    loss, parts = total_loss(
+        LossCfg(mse=LossMseCfg(weight=2.0), lpips=None), pred, target,
+        jnp.asarray(0),
+    )
+    np.testing.assert_allclose(float(loss), 2.0 * 0.25, atol=1e-6)
+    assert "mse" in parts and "lpips" not in parts
+
+
+def test_lpips_module_basic():
+    rng = jax.random.PRNGKey(0)
+    module = LPIPS()
+    img = jax.random.uniform(rng, (2, 32, 32, 3))
+    params = module.init(rng, img, img)
+    d_same = module.apply(params, img, img)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
+    other = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    d_diff = module.apply(params, img, other)
+    assert d_diff.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(d_diff)))
+
+
+def test_lpips_loss_delay_gate():
+    rng = jax.random.PRNGKey(0)
+    module = LPIPS()
+    img = jax.random.uniform(rng, (1, 1, 16, 16, 3))
+    params = module.init(rng, img[0], img[0])
+    cfg = LossLpipsCfg(weight=1.0, apply_after_step=100)
+    other = jax.random.uniform(jax.random.PRNGKey(2), img.shape)
+    before = lpips_loss(cfg, params, img, other, jnp.asarray(50))
+    after = lpips_loss(cfg, params, img, other, jnp.asarray(150))
+    assert float(before) == 0.0
+
+
+def test_onecycle_schedule_shape():
+    cfg = OptimizerCfg(lr=1e-4, warm_up_steps=100, max_steps=1000, cosine_lr=True)
+    sched = make_schedule(cfg)
+    lr0 = float(sched(0))
+    lr_peak = float(sched(100))
+    lr_end = float(sched(999))
+    assert lr0 < lr_peak
+    np.testing.assert_allclose(lr_peak, 1e-4, rtol=1e-2)
+    assert lr_end < lr0 * 10
+
+
+def test_checkpoint_roundtrip_and_partial():
+    from freesplat_tpu.training.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},
+        "step": jnp.asarray(7, jnp.int32),
+        "opt_state": {"m": jnp.ones(3)},
+    }
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, 7, state)
+        assert latest_step(d) == 7
+        ref = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored = restore_checkpoint(d, 7, ref, strict=True)
+        np.testing.assert_allclose(
+            np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3)
+        )
+        # Partial restore: reference has a reshaped param -> keeps fresh init.
+        ref2 = {
+            "params": {"w": jnp.full((4, 3), -1.0), "b": jnp.zeros(3)},
+            "step": jnp.asarray(0, jnp.int32),
+            "opt_state": {"m": jnp.zeros(3)},
+        }
+        restored2 = restore_checkpoint(d, 7, ref2, strict=False)
+        np.testing.assert_allclose(np.asarray(restored2["params"]["w"]), -1.0)
+        np.testing.assert_allclose(np.asarray(restored2["params"]["b"]), 0.0)
+        # Optimizer state reset on partial restore.
+        np.testing.assert_allclose(np.asarray(restored2["opt_state"]["m"]), 0.0)
