@@ -109,7 +109,13 @@ def bin_gaussians(
     offsets = cum - count  # exclusive
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    gid = jnp.searchsorted(cum, slots, side="right", method="sort").astype(jnp.int32)
+    # Run-length decode: gid[s] = #{i : cum[i] <= s} — scatter a marker at
+    # each range boundary and prefix-sum.  O(capacity), no sort/search
+    # (searchsorted with 786k queries costs a full sort on TPU).
+    marker = jnp.zeros(capacity, jnp.int32).at[cum[:-1]].add(
+        1, mode="drop"
+    )
+    gid = jnp.cumsum(marker)
     gid = jnp.minimum(gid, count.shape[0] - 1)
     valid = slots < total
     local = slots - offsets[gid]
@@ -122,9 +128,9 @@ def bin_gaussians(
     sorted_tile, _, sorted_gid = jax.lax.sort(
         (tile, inst_depth, gid), num_keys=2, is_stable=True
     )
+    # Few queries (num_tiles + 1) -> binary search is cheap here.
     edges = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left",
-        method="sort",
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     raw_start = edges[:-1]
     tile_count = edges[1:] - edges[:-1]
@@ -135,11 +141,12 @@ def bin_gaussians(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(acount)[:-1].astype(jnp.int32)]
     )
 
-    # Gather raw sorted slots into the aligned layout.
+    # Gather raw sorted slots into the aligned layout (owner via the same
+    # run-length decode: marker at each tile's aligned start).
     aslots = jnp.arange(acap, dtype=jnp.int32)
+    owner_marker = jnp.zeros(acap, jnp.int32).at[astart[1:]].add(1, mode="drop")
     owner = jnp.clip(
-        jnp.searchsorted(astart, aslots, side="right", method="sort") - 1,
-        0, num_tiles - 1,
+        jnp.cumsum(owner_marker), 0, num_tiles - 1
     ).astype(jnp.int32)
     alocal = aslots - astart[owner]
     avalid = (alocal >= 0) & (alocal < tile_count[owner])
@@ -238,18 +245,32 @@ def _forward_kernel(start_ref, cnt_ref, tw_ref, inst_hbm, out_ref, chunk_vmem, s
     n_chunks = pl.cdiv(cnt, CHUNK)
     px, py = _pixel_coords(t, tw_ref[0])
 
+    def dma(c, slot):
+        return pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            chunk_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
     # Two transmittance streams: ``log_t_all`` accumulates every blended
     # alpha (monotone -> the CUDA termination test, sticky by construction);
     # ``log_t_eff`` accumulates only *composited* alphas (the actual output
     # transmittance — a terminated pixel keeps its pre-termination T).
+    # DMA is double-buffered: chunk c+1 streams in while c composites.
     def body(carry):
         c, log_t_all, log_t_eff, acc = carry
-        dma = pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)], chunk_vmem, sem
-        )
-        dma.start()
-        dma.wait()
-        data = chunk_vmem[:]
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(c + 1, 1 - slot).start()
+
+        dma(c, slot).wait()
+        data = chunk_vmem[slot]
         _, _, _, _, alpha, l1m, cum_incl, _ = _chunk_alphas(
             data, px, py, c * CHUNK, cnt
         )
@@ -276,7 +297,13 @@ def _forward_kernel(start_ref, cnt_ref, tw_ref, inst_hbm, out_ref, chunk_vmem, s
         jnp.zeros((P, 1), jnp.float32),
         jnp.zeros((P, 4), jnp.float32),
     )
-    _, _, log_t_eff, acc = jax.lax.while_loop(cond, body, init)
+    c_stop, _, log_t_eff, acc = jax.lax.while_loop(cond, body, init)
+
+    # Early termination leaves the prefetched chunk's DMA in flight.
+    @pl.when(c_stop < n_chunks)
+    def _():
+        dma(c_stop, jax.lax.rem(c_stop, 2)).wait()
+
     out_ref[0, :, 0:4] = acc
     out_ref[0, :, 4:5] = log_t_eff
     out_ref[0, :, 5:8] = jnp.zeros((P, 3), jnp.float32)
@@ -295,16 +322,29 @@ def _backward_kernel(
     gvec = cot_ref[0, :, 0:4]  # dL/d[r,g,b,depth] (P, 4)
     g_logt = cot_ref[0, :, 4:5]  # dL/dlogT (P, 1)
 
+    def in_dma(c, slot):
+        return pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            chunk_vmem.at[slot],
+            in_sem.at[slot],
+        )
+
     # Phase 1: recompute the final unmasked log transmittance (it both
     # drives the termination test and equals the composited stream
-    # wherever instances are still alive).
+    # wherever instances are still alive).  Double-buffered forward walk.
+    @pl.when(n_chunks > 0)
+    def _():
+        in_dma(0, 0).start()
+
     def fwd_body(c, log_t_all):
-        dma = pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)], chunk_vmem, in_sem
-        )
-        dma.start()
-        dma.wait()
-        data = chunk_vmem[:]
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            in_dma(c + 1, 1 - slot).start()
+
+        in_dma(c, slot).wait()
+        data = chunk_vmem[slot]
         _, _, _, _, _, l1m, _, _ = _chunk_alphas(data, px, py, c * CHUNK, cnt)
         return log_t_all + jnp.sum(l1m, axis=1, keepdims=True)
 
@@ -316,15 +356,21 @@ def _backward_kernel(
     # log transmittance at the END of the current chunk; the chunk-start
     # value is recovered by subtracting the chunk's own sum (the log-space
     # analog of the CUDA backward's division-based recompute).
+    @pl.when(n_chunks > 0)
+    def _():
+        in_dma(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).start()
+
     def bwd_body(i, carry):
         sdot, log_t_end = carry
         c = n_chunks - 1 - i
-        dma = pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)], chunk_vmem, in_sem
-        )
-        dma.start()
-        dma.wait()
-        data = chunk_vmem[:]
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c - 1 >= 0)
+        def _():
+            in_dma(c - 1, 1 - slot).start()
+
+        in_dma(c, slot).wait()
+        data = chunk_vmem[slot]
         dx, dy, power, alpha_u, alpha, l1m, cum_incl, dead = _chunk_alphas(
             data, px, py, c * CHUNK, cnt
         )
@@ -369,25 +415,51 @@ def _backward_kernel(
         dcb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
         dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
 
-        dchunk_vmem[0:1, :] = dmx
-        dchunk_vmem[1:2, :] = dmy
-        dchunk_vmem[2:3, :] = dca
-        dchunk_vmem[3:4, :] = dcb
-        dchunk_vmem[4:5, :] = dcc
-        dchunk_vmem[5:6, :] = dop
-        dchunk_vmem[6:10, :] = dcols
-        dchunk_vmem[10:16, :] = jnp.zeros((6, CHUNK), jnp.float32)
-        out_dma = pltpu.make_async_copy(
-            dchunk_vmem, dinst_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)], out_sem
-        )
-        out_dma.start()
-        out_dma.wait()
+        def out_dma(cc, oslot):
+            return pltpu.make_async_copy(
+                dchunk_vmem.at[oslot],
+                dinst_hbm.at[:, pl.ds(pl.multiple_of(start + cc * CHUNK, CHUNK), CHUNK)],
+                out_sem.at[oslot],
+            )
+
+        # Wait for the write started two iterations ago before reusing
+        # this output buffer.
+        @pl.when(i >= 2)
+        def _():
+            out_dma(c + 2, slot).wait()
+
+        dchunk_vmem[slot, 0:1, :] = dmx
+        dchunk_vmem[slot, 1:2, :] = dmy
+        dchunk_vmem[slot, 2:3, :] = dca
+        dchunk_vmem[slot, 3:4, :] = dcb
+        dchunk_vmem[slot, 4:5, :] = dcc
+        dchunk_vmem[slot, 5:6, :] = dop
+        dchunk_vmem[slot, 6:10, :] = dcols
+        dchunk_vmem[slot, 10:16, :] = jnp.zeros((6, CHUNK), jnp.float32)
+        out_dma(c, slot).start()
         return sdot + jnp.sum(q, axis=1, keepdims=True), log_t0
 
     jax.lax.fori_loop(
         0, n_chunks, bwd_body,
         (jnp.zeros((P, 1), jnp.float32), log_t_final),
     )
+
+    # Drain the last (up to two) in-flight output writes.
+    @pl.when(n_chunks > 0)
+    def _():
+        pltpu.make_async_copy(
+            dchunk_vmem.at[0],
+            dinst_hbm.at[:, pl.ds(pl.multiple_of(start, CHUNK), CHUNK)],
+            out_sem.at[0],
+        ).wait()
+
+    @pl.when(n_chunks > 1)
+    def _():
+        pltpu.make_async_copy(
+            dchunk_vmem.at[1],
+            dinst_hbm.at[:, pl.ds(pl.multiple_of(start + CHUNK, CHUNK), CHUNK)],
+            out_sem.at[1],
+        ).wait()
 
 
 def _use_interpret() -> bool:
@@ -408,8 +480,8 @@ def _rasterize_tiles_fwd_impl(inst, tile_start, tile_count, tw_arr, num_tiles):
             (1, P, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((INST_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, INST_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -436,10 +508,10 @@ def _rasterize_tiles_bwd(num_tiles, residuals, cot):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((INST_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((INST_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, INST_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, INST_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dinst = pl.pallas_call(
@@ -453,10 +525,10 @@ def _rasterize_tiles_bwd(num_tiles, residuals, cot):
     # keep undefined values — zero them.
     acap = inst.shape[1]
     slots = jnp.arange(acap, dtype=jnp.int32)
-    owner = jnp.clip(
-        jnp.searchsorted(tile_start, slots, side="right", method="sort") - 1,
-        0, num_tiles - 1,
+    owner_marker = jnp.zeros(acap, jnp.int32).at[tile_start[1:]].add(
+        1, mode="drop"
     )
+    owner = jnp.clip(jnp.cumsum(owner_marker), 0, num_tiles - 1)
     local = slots - tile_start[owner]
     written = jnp.minimum(
         -(-jnp.minimum(tile_count, MAX_CHUNKS * CHUNK) // CHUNK) * CHUNK,

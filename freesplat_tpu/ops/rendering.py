@@ -150,12 +150,25 @@ def preprocess_gaussians(
     # jw row 0 = j00 * R[0, :] + j02 * R[2, :]; row 1 = j11*R[1,:] + j12*R[2,:]
     jw0 = j00[:, None] * rot[0][None, :] + j02[:, None] * rot[2][None, :]
     jw1 = j11[:, None] * rot[1][None, :] + j12[:, None] * rot[2][None, :]
-    # cov2d entries: jw_i . Sigma . jw_j
-    sig0 = jnp.einsum("nij,nj->ni", covariances, jw0)
-    sig1 = jnp.einsum("nij,nj->ni", covariances, jw1)
-    a = jnp.sum(jw0 * sig0, axis=-1) + DILATION
-    b = jnp.sum(jw0 * sig1, axis=-1)
-    c = jnp.sum(jw1 * sig1, axis=-1) + DILATION
+    # cov2d entries jw_i . Sigma . jw_j, written elementwise: batched
+    # (n, 3, 3) @ (n, 3) dots pad each tiny matrix to an MXU tile on TPU.
+    c00 = covariances[:, 0, 0]
+    c01 = covariances[:, 0, 1]
+    c02 = covariances[:, 0, 2]
+    c11 = covariances[:, 1, 1]
+    c12 = covariances[:, 1, 2]
+    c22 = covariances[:, 2, 2]
+
+    def quad(u, v):
+        return (
+            u[:, 0] * (c00 * v[:, 0] + c01 * v[:, 1] + c02 * v[:, 2])
+            + u[:, 1] * (c01 * v[:, 0] + c11 * v[:, 1] + c12 * v[:, 2])
+            + u[:, 2] * (c02 * v[:, 0] + c12 * v[:, 1] + c22 * v[:, 2])
+        )
+
+    a = quad(jw0, jw0) + DILATION
+    b = quad(jw0, jw1)
+    c = quad(jw1, jw1) + DILATION
 
     det = a * c - b * b
     nondegenerate = det > 0.0

@@ -78,7 +78,9 @@ def eval_sh(sh: jnp.ndarray, directions: jnp.ndarray, degree: int) -> jnp.ndarra
     the rasterizer applies that, matching the CUDA kernel's computeColorFromSH).
     """
     basis = eval_sh_basis(directions, degree)
-    return jnp.einsum("...cd,...d->...c", sh, basis)
+    # Elementwise-sum form: a batched (c, d) @ (d,) einsum pads each tiny
+    # matrix to an MXU tile on TPU.
+    return jnp.sum(sh * basis[..., None, :], axis=-1)
 
 
 def _numpy_eval_basis(dirs: np.ndarray, degree: int) -> np.ndarray:

@@ -1,0 +1,73 @@
+"""Validation loop: render one scene, log metrics + comparison grids.
+
+Parity target: ``ModelWrapper.validation_step``
+(``src/model/model_wrapper.py:507-637``) — renders the target views of a
+random validation scene, logs PSNR and a context|gt|prediction image
+grid, and appends a line to ``val_metrics.txt`` (``:640-652``).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..models.decoder import DecoderCfg, render_views
+from ..models.encoder import EncoderFreeSplat, EncoderFreeSplatCfg
+from ..training.metrics import compute_psnr
+from ..utils.visualization import add_label, hcat, vcat
+
+
+def validation_step(
+    encoder_cfg: EncoderFreeSplatCfg,
+    decoder_cfg: DecoderCfg,
+    variables: dict,
+    batch: dict,
+    step: int,
+    output_dir: str | Path = "outputs/local",
+) -> dict[str, float]:
+    import dataclasses
+
+    encoder = EncoderFreeSplat(
+        dataclasses.replace(encoder_cfg, train_bn=False)
+    )
+    context = {k: v for k, v in batch["context"].items() if k != "test_fvs"}
+    target = batch["target"]
+    h, w = target["image"].shape[2:4]
+
+    results = encoder.apply(variables, context)
+    out = render_views(
+        decoder_cfg,
+        results["gaussians"],
+        target["extrinsics"],
+        target["intrinsics"],
+        target["near"],
+        target["far"],
+        (h, w),
+    )
+    pred = np.asarray(out.color[0])
+    gt = np.asarray(target["image"][0])
+    psnr = float(np.mean(np.asarray(compute_psnr(gt, pred))))
+
+    # Comparison grid: context row | gt row | prediction row.
+    ctx_row = hcat(*[np.asarray(im) for im in context["image"][0]])
+    gt_row = hcat(*list(gt))
+    pred_row = hcat(*list(pred))
+    grid = vcat(
+        add_label(ctx_row, "Context"),
+        add_label(gt_row, "Target (Ground Truth)"),
+        add_label(pred_row, "Target (Prediction)"),
+    )
+
+    out_dir = Path(output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    from PIL import Image
+
+    Image.fromarray((np.clip(grid, 0, 1) * 255).astype(np.uint8)).save(
+        out_dir / f"val_{step:0>7}.png"
+    )
+    with (out_dir / "val_metrics.txt").open("a") as f:
+        scene = batch.get("scene", ["?"])[0]
+        f.write(f"step {step} scene {scene} psnr {psnr:.4f}\n")
+    return {"psnr": psnr}

@@ -1,0 +1,111 @@
+"""Tests for auxiliary depth losses + validation step."""
+import jax.numpy as jnp
+import numpy as np
+
+from freesplat_tpu.training.depth_losses import (
+    depth_to_normals,
+    ms_gradient_loss,
+    mv_depth_loss,
+    normals_loss,
+    pyrdown,
+    scale_invariant_loss,
+)
+
+
+def test_pyrdown_shapes():
+    x = jnp.ones((2, 32, 32))
+    pyr = pyrdown(x, 4)
+    assert [p.shape for p in pyr] == [
+        (2, 32, 32), (2, 16, 16), (2, 8, 8), (2, 4, 4)
+    ]
+    # Blur of a constant stays constant.
+    np.testing.assert_allclose(np.asarray(pyr[-1]), 1.0, atol=1e-6)
+
+
+def test_ms_gradient_loss_zero_for_identical():
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.uniform(1, 5, size=(1, 32, 32)), dtype=jnp.float32)
+    assert float(ms_gradient_loss(d, d)) < 1e-6
+    assert float(ms_gradient_loss(d, d * 2.0)) > 0.0
+
+
+def test_scale_invariant_loss_ignores_global_scale():
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.uniform(1, 5, size=(1, 16, 16)), dtype=jnp.float32)
+    log_d = jnp.log(d)
+    # A constant log offset (global scale) costs little at lambda ~ 1.
+    shifted = scale_invariant_loss(log_d, log_d + 1.0, si_lambda=1.0)
+    noisy = scale_invariant_loss(
+        log_d, log_d + jnp.asarray(rng.normal(size=d.shape) * 0.5), si_lambda=1.0
+    )
+    assert float(shifted) < 1e-3
+    assert float(noisy) > float(shifted)
+
+
+def test_normals_loss():
+    n = jnp.zeros((1, 8, 8, 3)).at[..., 2].set(1.0)
+    assert float(normals_loss(n, n)) < 1e-6
+    flipped = -n
+    np.testing.assert_allclose(float(normals_loss(n, flipped)), 1.0, atol=1e-6)
+
+
+def test_depth_to_normals_plane():
+    # A fronto-parallel plane has normals along -z (pointing at camera by
+    # our cross-product orientation) or +z consistently.
+    depth = jnp.full((1, 16, 16), 3.0)
+    intr = jnp.array([[16.0, 0, 8], [0, 16.0, 8], [0, 0, 1]])
+    normals = np.asarray(depth_to_normals(depth, intr))[0, 2:-2, 2:-2]
+    assert np.all(np.abs(normals[..., 2]) > 0.99)
+
+
+def test_mv_depth_loss_consistent_views():
+    """The same fronto-parallel plane seen from two x-shifted cameras is
+    depth-consistent: loss ~ 0; corrupting one view raises it."""
+    h = w = 24
+    depth = jnp.full((1, h, w), 4.0)
+    intr = jnp.array([[24.0, 0, 12], [0, 24.0, 12], [0, 0, 1]])
+    e0 = jnp.eye(4)[None]
+    e1 = jnp.eye(4).at[0, 3].set(0.3)[None]
+    loss_ok = mv_depth_loss(depth, depth, e0, e1, intr)
+    assert float(loss_ok) < 1e-5
+    loss_bad = mv_depth_loss(depth, depth * 1.2, e0, e1, intr)
+    assert float(loss_bad) > 0.01
+
+
+def test_validation_step(tmp_path):
+    import jax
+
+    from freesplat_tpu.models.adapter import GaussianAdapterCfg
+    from freesplat_tpu.models.decoder import DecoderCfg
+    from freesplat_tpu.models.encoder import (
+        EncoderFreeSplat,
+        EncoderFreeSplatCfg,
+    )
+    from freesplat_tpu.training.validation import validation_step
+    from tests.test_model import make_context
+
+    cfg = EncoderFreeSplatCfg(
+        num_depth_candidates=8, adapter=GaussianAdapterCfg(sh_degree=1),
+        train_bn=False,
+    )
+    context = make_context(h=64, w=64)
+    encoder = EncoderFreeSplat(cfg)
+    variables = encoder.init(jax.random.PRNGKey(0), context)
+    batch = {
+        "context": context,
+        "target": {
+            "image": context["image"][:, :1],
+            "extrinsics": context["extrinsics"][:, :1],
+            "intrinsics": context["intrinsics"][:, :1],
+            "near": context["near"][:, :1],
+            "far": context["far"][:, :1],
+        },
+        "scene": ["val_scene"],
+    }
+    metrics = validation_step(
+        cfg, DecoderCfg(sh_degree=1), variables, batch, step=7,
+        output_dir=tmp_path,
+    )
+    assert np.isfinite(metrics["psnr"])
+    assert (tmp_path / "val_0000007.png").exists()
+    assert "psnr" in (tmp_path / "val_metrics.txt").read_text()
