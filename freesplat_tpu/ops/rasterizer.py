@@ -76,17 +76,29 @@ def aligned_capacity(capacity: int, image_shape: tuple[int, int]) -> int:
 
 
 def bin_gaussians(
-    screen: Screen, image_shape: tuple[int, int], capacity: int
+    screen: Screen,
+    image_shape: tuple[int, int],
+    capacity: int,
+    num_local_cols: int | None = None,
+    col_offset: jnp.ndarray | int = 0,
 ) -> TileBinning:
     """Assign Gaussians to tiles, sorted by (tile, depth). Non-differentiable.
 
     ``capacity`` bounds the raw instance count; each tile's slot range is
     additionally padded to a CHUNK multiple so the kernel's DMAs stay
     lane-aligned (use ``aligned_capacity`` for the returned array length).
+
+    ``num_local_cols``/``col_offset`` restrict binning to a slab of tile
+    columns [col_offset, col_offset + num_local_cols) — the tile-sharded
+    multi-chip path where each device rasterizes its own column slab.
+    Tile indices in the result are row-major over (th, num_local_cols).
     """
     th, tw = _tile_grid(image_shape)
-    num_tiles = th * tw
-    acap = aligned_capacity(capacity, image_shape)
+    if num_local_cols is None:
+        num_local_cols = tw
+    col_offset = jnp.asarray(col_offset, jnp.int32)
+    num_tiles = th * num_local_cols
+    acap = aligned_capacity(capacity, (image_shape[0], num_local_cols * TILE))
 
     mx = jax.lax.stop_gradient(screen.means2d[:, 0])
     my = jax.lax.stop_gradient(screen.means2d[:, 1])
@@ -96,9 +108,15 @@ def bin_gaussians(
 
     # CUDA getRect: rect_min = clamp(floor((p - r)/B)), rect_max =
     # clamp(floor((p + r + B - 1)/B)) — exclusive upper bound.
-    x0 = jnp.clip(jnp.floor((mx - r) / TILE), 0, tw).astype(jnp.int32)
+    x0 = jnp.clip(
+        jnp.floor((mx - r) / TILE).astype(jnp.int32) - col_offset,
+        0, num_local_cols,
+    )
     y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, th).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mx + r + TILE - 1) / TILE), 0, tw).astype(jnp.int32)
+    x1 = jnp.clip(
+        jnp.floor((mx + r + TILE - 1) / TILE).astype(jnp.int32) - col_offset,
+        0, num_local_cols,
+    )
     y1 = jnp.clip(jnp.floor((my + r + TILE - 1) / TILE), 0, th).astype(jnp.int32)
     span_x = x1 - x0
     span_y = y1 - y0
@@ -122,7 +140,7 @@ def bin_gaussians(
     sw = jnp.maximum(span_x[gid], 1)
     ty = y0[gid] + local // sw
     tx = x0[gid] + local % sw
-    tile = jnp.where(valid, ty * tw + tx, num_tiles).astype(jnp.int32)
+    tile = jnp.where(valid, ty * num_local_cols + tx, num_tiles).astype(jnp.int32)
     inst_depth = jnp.where(valid, depth[gid], jnp.inf).astype(jnp.float32)
 
     sorted_tile, _, sorted_gid = jax.lax.sort(
@@ -186,10 +204,14 @@ def build_instance_rows(screen: Screen, binning: TileBinning) -> jnp.ndarray:
     return rows
 
 
-def _pixel_coords(tile_id, tw):
-    """Per-tile pixel coordinates as (P, 1) f32 columns (pixels on sublanes)."""
-    tx = tile_id % tw
-    ty = tile_id // tw
+def _pixel_coords(tile_id, tw_local, col_off):
+    """Per-tile pixel coordinates as (P, 1) f32 columns (pixels on sublanes).
+
+    ``tile_id`` is row-major over a (th, tw_local) LOCAL tile grid whose
+    first column sits at absolute tile column ``col_off`` (tile-sharded
+    multi-chip rendering renders a column slab per device)."""
+    tx = col_off + tile_id % tw_local
+    ty = tile_id // tw_local
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (tx * TILE + pix % TILE).astype(jnp.float32)
     py = (ty * TILE + pix // TILE).astype(jnp.float32)
@@ -243,7 +265,7 @@ def _forward_kernel(start_ref, cnt_ref, tw_ref, inst_hbm, out_ref, chunk_vmem, s
     start = start_ref[t]
     cnt = jnp.minimum(cnt_ref[t], MAX_CHUNKS * CHUNK)
     n_chunks = pl.cdiv(cnt, CHUNK)
-    px, py = _pixel_coords(t, tw_ref[0])
+    px, py = _pixel_coords(t, tw_ref[0], tw_ref[1])
 
     def dma(c, slot):
         return pltpu.make_async_copy(
@@ -317,7 +339,7 @@ def _backward_kernel(
     start = start_ref[t]
     cnt = jnp.minimum(cnt_ref[t], MAX_CHUNKS * CHUNK)
     n_chunks = pl.cdiv(cnt, CHUNK)
-    px, py = _pixel_coords(t, tw_ref[0])
+    px, py = _pixel_coords(t, tw_ref[0], tw_ref[1])
 
     gvec = cot_ref[0, :, 0:4]  # dL/d[r,g,b,depth] (P, 4)
     g_logt = cot_ref[0, :, 4:5]  # dL/dlogT (P, 1)
@@ -575,7 +597,7 @@ def rasterize(
     inst = build_instance_rows(screen, binning)
 
     th, tw = _tile_grid(image_shape)
-    tw_arr = jnp.array([tw], jnp.int32)
+    tw_arr = jnp.array([tw, 0], jnp.int32)
     out = _rasterize_tiles(
         inst, binning.tile_start, binning.tile_count, tw_arr, th * tw
     )

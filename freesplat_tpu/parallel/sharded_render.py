@@ -1,0 +1,118 @@
+"""Multi-chip rasterization: Gaussian shards x tile slabs over a mesh.
+
+The BASELINE north-star decomposition: Gaussians live sharded across the
+``shard`` mesh axis; for rendering, each device all-gathers the
+*screen-space* Gaussian parameters over ICI (40 B/Gaussian — far cheaper
+than gathering raw Gaussians and re-preprocessing would be in HBM math,
+and the gather rides the interconnect), bins only its own slab of tile
+columns, and rasterizes those tiles with the standard Pallas kernels.
+The backward pass is pure autodiff: the transpose of the all-gather is a
+``psum_scatter``, which returns each device exactly its own Gaussians'
+gradients — no manual collective code.
+
+The image comes back sharded over tile columns; callers can lax.all_gather
+it or keep it sharded for a sharded loss.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.rasterizer import (
+    CHUNK,
+    TILE,
+    _rasterize_tiles,
+    _tile_grid,
+    aligned_capacity,
+    bin_gaussians,
+    build_instance_rows,
+)
+from ..ops.rendering import preprocess_gaussians
+
+
+def rasterize_sharded(
+    means: jnp.ndarray,  # (n, 3) — sharded over axis on dim 0
+    covariances: jnp.ndarray,
+    harmonics: jnp.ndarray,
+    opacities: jnp.ndarray,
+    extrinsics: jnp.ndarray,  # (4, 4) replicated
+    intrinsics: jnp.ndarray,
+    image_shape: tuple[int, int],
+    background: jnp.ndarray,
+    sh_degree: int,
+    mesh: Mesh,
+    axis: str = "shard",
+    capacity: int | None = None,
+):
+    """Render one view with Gaussians + tiles sharded over ``mesh[axis]``.
+
+    Returns (color (h, w, 3), depth (h, w), alpha (h, w)) fully gathered.
+    Requires the tile-column count of the (padded) image to be divisible
+    by the axis size.
+    """
+    h, w = image_shape
+    n = means.shape[0]
+    n_dev = mesh.shape[axis]
+    th, tw = _tile_grid(image_shape)
+    assert tw % n_dev == 0, (
+        f"tile columns {tw} not divisible by mesh axis size {n_dev}"
+    )
+    local_cols = tw // n_dev
+    if capacity is None:
+        capacity = 8 * n
+    # Per-device instance budget covers its slab.
+    local_capacity = -(-max(capacity // n_dev, CHUNK) // CHUNK) * CHUNK
+
+    def render_shard(m, c, hm, o):
+        # m etc. are the LOCAL shards (n/n_dev, ...).
+        dev = jax.lax.axis_index(axis)
+        # Screen-space preprocessing is local; the all-gather ships only
+        # the compact screen parameters over ICI.
+        screen = preprocess_gaussians(
+            m, c, hm, o, extrinsics, intrinsics, image_shape, sh_degree
+        )
+        gathered = jax.tree_util.tree_map(
+            lambda x: jnp.reshape(
+                jax.lax.all_gather(x, axis), (-1,) + x.shape[1:]
+            ),
+            screen,
+        )
+        binning = bin_gaussians(
+            gathered, image_shape, local_capacity,
+            num_local_cols=local_cols,
+            col_offset=dev * local_cols,
+        )
+        inst = build_instance_rows(gathered, binning)
+        tw_arr = jnp.stack(
+            [jnp.int32(local_cols), (dev * local_cols).astype(jnp.int32)]
+        )
+        out = _rasterize_tiles(
+            inst, binning.tile_start, binning.tile_count, tw_arr,
+            th * local_cols,
+        )  # (th * local_cols, P, 8)
+        # Assemble this device's image slab: (th*TILE, local_cols*TILE, 8).
+        img = out.reshape(th, local_cols, TILE, TILE, 8)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(
+            th * TILE, local_cols * TILE, 8
+        )
+        # Gather slabs along width on every device.
+        full = jax.lax.all_gather(img, axis, axis=1)  # (H, n_dev, Wl, 8)
+        return full.reshape(th * TILE, tw * TILE, 8)
+
+    shard_spec = P(axis)
+    fn = jax.shard_map(
+        render_shard,
+        mesh=mesh,
+        in_specs=(shard_spec, shard_spec, shard_spec, shard_spec),
+        out_specs=P(),
+        check_vma=False,
+    )
+    img = fn(means, covariances, harmonics, opacities)[:h, :w]
+    color = img[..., 0:3]
+    depth = img[..., 3]
+    t_final = jnp.exp(img[..., 4])
+    color = color + t_final[..., None] * background
+    return color, depth, 1.0 - t_final
