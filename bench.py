@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main() -> None:
+    from freesplat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -54,12 +57,16 @@ def main() -> None:
 
     step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
     jax.block_until_ready(step(means, cov, harm, opac))  # compile
-    times = []
-    for _ in range(5):
-        t0 = time.time()
-        jax.block_until_ready(step(means, cov, harm, opac))
-        times.append(time.time() - t0)
-    dt = min(times)
+    # Pipelined timing (async dispatches, one final block): the tunnel's
+    # completion notification costs ~30 ms per block, which a training
+    # loop pays once per step chain, not per call.
+    reps = 16
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        out = step(means, cov, harm, opac)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
     rays_per_s = h * w / dt
 
     baseline_path = os.path.join(

@@ -136,3 +136,74 @@ def apply_augmentation_shim(example: dict, rng: np.random.Generator) -> dict:
         "context": flip_views(example["context"]),
         "target": flip_views(example["target"]),
     }
+
+
+def apply_patch_shim_to_views(views: dict, patch_size: int) -> dict:
+    """Center-crop so image dims divide the patch size (patch_shim.py)."""
+    v, h, w = views["image"].shape[:3]
+    h_new = (h // patch_size) * patch_size
+    w_new = (w // patch_size) * patch_size
+    row = (h - h_new) // 2
+    col = (w - w_new) // 2
+    image = views["image"][:, row : row + h_new, col : col + w_new]
+    intr = views["intrinsics"].copy()
+    intr[:, 0, 0] *= w / w_new
+    intr[:, 1, 1] *= h / h_new
+    return {**views, "image": image, "intrinsics": intr}
+
+
+def apply_patch_shim(example: dict, patch_size: int) -> dict:
+    return {
+        **example,
+        "context": apply_patch_shim_to_views(example["context"], patch_size),
+        "target": apply_patch_shim_to_views(example["target"], patch_size),
+    }
+
+
+def compute_depth_for_disparity(
+    extrinsics: np.ndarray,  # (v, 4, 4)
+    intrinsics: np.ndarray,  # (v, 3, 3) normalized
+    image_shape: tuple[int, int],
+    disparity: float,
+    delta_min: float = 1e-6,
+) -> float:
+    """Depth at which the max camera baseline subtends ``disparity`` pixels
+    (bounds_shim.py)."""
+    origins = extrinsics[:, :3, 3]
+    deltas = np.linalg.norm(origins[None] - origins[:, None], axis=-1)
+    baseline = max(deltas.max(), delta_min)
+    h, w = image_shape
+    pixel = np.array([1.0 / w, 1.0 / h], np.float32)
+    sizes = np.einsum(
+        "vij,j->vi", np.linalg.inv(intrinsics[:, :2, :2]), pixel
+    )
+    mean_pixel_size = float(sizes.mean())
+    return float(baseline / (disparity * mean_pixel_size))
+
+
+def apply_bounds_shim(
+    example: dict, near_disparity: float, far_disparity: float
+) -> dict:
+    """Disparity-derived near/far planes (bounds_shim.py — used by RE10K)."""
+    ctx = example["context"]
+    v, h, w = ctx["image"].shape[:3]
+    near = compute_depth_for_disparity(
+        ctx["extrinsics"], ctx["intrinsics"], (h, w), near_disparity
+    )
+    far = compute_depth_for_disparity(
+        ctx["extrinsics"], ctx["intrinsics"], (h, w), far_disparity
+    )
+
+    def with_bounds(views):
+        n = views["image"].shape[0]
+        return {
+            **views,
+            "near": np.full(n, near, np.float32),
+            "far": np.full(n, far, np.float32),
+        }
+
+    return {
+        **example,
+        "context": with_bounds(example["context"]),
+        "target": with_bounds(example["target"]),
+    }

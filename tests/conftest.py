@@ -22,3 +22,9 @@ if not os.environ.get("FREESPLAT_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the big model graphs take minutes to
+# compile even on CPU; cache hits make reruns fast.
+from freesplat_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/root/.jax_cache_cpu")
