@@ -70,9 +70,11 @@ def run_test(
                     strict=cfg.checkpointing.strict,
                 )
 
+        rest = batches
+
         def stream():
             yield first
-            yield from batches
+            yield from rest
 
         batches = stream()
 

@@ -99,10 +99,19 @@ class CostVolume(nn.Module):
             )  # (b, dc, n, c)
             return jnp.concatenate([feat_avg, dot_avg[..., None]], axis=-1)
 
-        chunks = []
-        for s in range(0, d, self.plane_chunk):
-            chunks.append(sweep_chunk(depths[s : s + self.plane_chunk]))
-        combined = jnp.concatenate(chunks, axis=1)  # (b, d, n, c+1)
+        # lax.map over plane chunks: one traced chunk body instead of an
+        # 8x-unrolled graph (compile time), same numerics.
+        n_chunks = -(-d // self.plane_chunk)
+        pad = n_chunks * self.plane_chunk - d
+        depths_padded = jnp.concatenate(
+            [depths, jnp.full((pad,), depths[-1])]
+        ) if pad else depths
+        chunked = jax.lax.map(
+            sweep_chunk, depths_padded.reshape(n_chunks, self.plane_chunk)
+        )  # (n_chunks, b, chunk, n, c+1)
+        combined = jnp.moveaxis(chunked, 0, 1).reshape(
+            b, n_chunks * self.plane_chunk, -1, c + 1
+        )[:, :d]
 
         volume = MLP(self.mlp_channels, disable_final_activation=True,
                      name="mlp")(combined)[..., 0]  # (b, d, n)

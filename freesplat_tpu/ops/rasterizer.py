@@ -138,8 +138,14 @@ def bin_gaussians(
     valid = slots < total
     local = slots - offsets[gid]
     sw = jnp.maximum(span_x[gid], 1)
-    ty = y0[gid] + local // sw
-    tx = x0[gid] + local % sw
+    # Integer div/mod with a dynamic divisor has no TPU hardware path (XLA
+    # emits a bit-serial loop).  local and sw are tiny (< 2^20), so exact
+    # float32 division is safe and runs on the VPU.
+    lq = jnp.floor(
+        local.astype(jnp.float32) / sw.astype(jnp.float32)
+    ).astype(jnp.int32)
+    ty = y0[gid] + lq
+    tx = x0[gid] + (local - lq * sw)
     tile = jnp.where(valid, ty * num_local_cols + tx, num_tiles).astype(jnp.int32)
     inst_depth = jnp.where(valid, depth[gid], jnp.inf).astype(jnp.float32)
 
