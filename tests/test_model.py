@@ -293,3 +293,22 @@ def test_encoder_decoder_end_to_end():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert total > 0
+
+
+def test_encoder_local_source_selection():
+    """v > num_views exercises the pose-distance top-k source path."""
+    cfg = EncoderFreeSplatCfg(
+        num_depth_candidates=8,
+        num_views=3,
+        adapter=GaussianAdapterCfg(sh_degree=1),
+        train_bn=False,
+    )
+    context = make_context(v=4)
+    module = EncoderFreeSplat(cfg)
+    variables = module.init(jax.random.PRNGKey(0), context)
+    results = module.apply(variables, context)
+    g = results["gaussians"]
+    G = 4 * H * W
+    assert g.means.shape == (1, G, 3)
+    assert int(results["num_gaussians"][0]) <= G
+    assert np.isfinite(np.asarray(g.opacities)).all()
