@@ -30,7 +30,7 @@ from .mathutil import safe_normalize
 from .sh import eval_sh
 
 # CUDA rasterizer constants.
-TILE = 32  # pixels per rasterizer tile side (binning granularity)
+TILE = 16  # pixels per rasterizer tile side (binning granularity; CUDA uses 16)
 NEAR_CULL_Z = 0.2
 DILATION = 0.3
 ALPHA_MIN = 1.0 / 255.0

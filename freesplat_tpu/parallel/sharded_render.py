@@ -46,6 +46,7 @@ def rasterize_sharded(
     mesh: Mesh,
     axis: str = "shard",
     capacity: int | None = None,
+    per_device_capacity: int | None = None,
 ):
     """Render one view with Gaussians + tiles sharded over ``mesh[axis]``.
 
@@ -63,8 +64,12 @@ def rasterize_sharded(
     local_cols = tw // n_dev
     if capacity is None:
         capacity = 8 * n
-    # Per-device instance budget covers its slab.
-    local_capacity = -(-max(capacity // n_dev, CHUNK) // CHUNK) * CHUNK
+    # Per-device instance budget for its column slab.  Instances are not
+    # uniformly distributed across slabs, so default conservatively to the
+    # full budget per device; pass per_device_capacity to trade memory/sort
+    # size for a tight bound.
+    local_capacity = per_device_capacity or capacity
+    local_capacity = -(-max(local_capacity, CHUNK) // CHUNK) * CHUNK
 
     def render_shard(m, c, hm, o):
         # m etc. are the LOCAL shards (n/n_dev, ...).

@@ -114,3 +114,24 @@ def test_rotate_sh_batched():
     assert out.shape == (8, 9)
     single = rotate_sh(c[3], rots[3])
     np.testing.assert_allclose(np.asarray(out[3]), np.asarray(single), atol=1e-5)
+
+
+def test_discrete_distribution_sampling():
+    import jax
+    from freesplat_tpu.ops.discrete_distribution import (
+        gather_discrete_topk,
+        sample_discrete_distribution,
+    )
+
+    pdf = jnp.array([[0.0, 0.0, 1.0, 0.0], [0.25, 0.25, 0.25, 0.25]])
+    idx, dens = sample_discrete_distribution(pdf, jax.random.PRNGKey(0), 64)
+    assert idx.shape == (2, 64)
+    # Deterministic row always picks bucket 2.
+    assert np.all(np.asarray(idx[0]) == 2)
+    np.testing.assert_allclose(np.asarray(dens[0]), 1.0, atol=1e-6)
+    # Uniform row covers all buckets.
+    assert len(set(np.asarray(idx[1]).tolist())) == 4
+
+    tidx, tdens = gather_discrete_topk(pdf, 2)
+    assert int(tidx[0, 0]) == 2
+    np.testing.assert_allclose(np.asarray(tdens[1]), 0.25, atol=1e-6)

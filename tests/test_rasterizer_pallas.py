@@ -57,7 +57,11 @@ def test_forward_dense_overlap():
     opac = jnp.full_like(opac, 0.95)
     bg = jnp.zeros(3)
     ref_c, ref_d, _ = render_reference(means, cov, harm, opac, extr, intr, (H, W), bg, 1)
-    pal_c, pal_d, _ = rasterize(means, cov, harm, opac, extr, intr, (H, W), bg, 1)
+    # Large splats cover many 16px tiles; give the instance buffer headroom
+    # (the golden model never drops, so a clamped buffer would diverge).
+    pal_c, pal_d, _ = rasterize(
+        means, cov, harm, opac, extr, intr, (H, W), bg, 1, capacity=64 * 300
+    )
     np.testing.assert_allclose(np.asarray(pal_c), np.asarray(ref_c), atol=5e-5)
     np.testing.assert_allclose(np.asarray(pal_d), np.asarray(ref_d), atol=5e-4)
 
