@@ -71,11 +71,25 @@ class DatasetScannet:
     def __len__(self) -> int:
         return len(self.scenes)
 
-    def _load_frame(self, path: Path, idx: int) -> np.ndarray:
-        img = Image.open(path / "color" / f"{idx}.jpg")
+    def _load_frames(self, path: Path, indices) -> np.ndarray:
+        """Batched frame load; uses the native threaded JPEG+Lanczos loader
+        when available, PIL otherwise."""
         h, w = self.cfg.load_size
-        img = img.resize((w, h))
-        return np.asarray(img).astype(np.float32) / 255.0
+        paths = [path / "color" / f"{int(i)}.jpg" for i in indices]
+        try:
+            from .. import native
+
+            if native.available():
+                return native.load_jpeg_batch([str(p) for p in paths], h, w)
+        except Exception:
+            pass
+        return np.stack(
+            [
+                np.asarray(Image.open(p).resize((w, h))).astype(np.float32)
+                / 255.0
+                for p in paths
+            ]
+        )
 
     def _load_depth(self, path: Path, idx: int) -> np.ndarray:
         img = Image.open(path / "depth" / f"{idx}.png")
@@ -108,7 +122,7 @@ class DatasetScannet:
         intrinsics[:, 1] /= h0
 
         def make_views(indices: np.ndarray) -> dict:
-            images = np.stack([self._load_frame(path, int(i)) for i in indices])
+            images = self._load_frames(path, indices)
             views = {
                 "extrinsics": extrinsics[indices],
                 "intrinsics": intrinsics[indices],

@@ -106,10 +106,36 @@ def train(cfg: RootCfg) -> None:
             )
             print(f"restored checkpoint step {step}")
 
+    logger = None
+    try:
+        from .utils.logger import LocalLogger
+
+        logger = LocalLogger()
+    except Exception:
+        pass
+
     def log_fn(step, metrics):
         current_step["value"] = step
         parts = " ".join(f"{k}={v:.5g}" for k, v in metrics.items())
         print(f"train step {step}: {parts}", flush=True)
+        if logger is not None:
+            logger.log_scalars(step, metrics)
+
+    val_batches = {"it": None}
+
+    def val_fn(step, state):
+        from .training.validation import validation_step
+
+        if val_batches["it"] is None:
+            val_batches["it"] = make_batches(cfg, "val")
+        batch = next(val_batches["it"])
+        variables = {"params": state["params"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+        metrics = validation_step(
+            cfg.encoder, cfg.decoder, variables, batch, step
+        )
+        print(f"val step {step}: psnr={metrics['psnr']:.2f}", flush=True)
 
     def checkpoint_fn(step, state):
         save_checkpoint(ckpt_dir, step, state)
@@ -126,6 +152,8 @@ def train(cfg: RootCfg) -> None:
         log_fn=log_fn,
         checkpoint_fn=checkpoint_fn,
         checkpoint_every=cfg.checkpointing.every_n_train_steps,
+        val_fn=val_fn,
+        val_every=cfg.trainer.val_check_interval,
     )
 
 

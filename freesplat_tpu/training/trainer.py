@@ -133,6 +133,8 @@ def fit(
     log_fn: Callable[[int, dict], None] | None = None,
     checkpoint_fn: Callable[[int, dict], None] | None = None,
     checkpoint_every: int = 10_000,
+    val_fn: Callable[[int, dict], None] | None = None,
+    val_every: int = 5_000,
 ) -> dict:
     """Host training loop (the Lightning-fit equivalent)."""
     train_step = make_train_step(cfg, lpips_params)
@@ -159,4 +161,6 @@ def fit(
             log_fn(step, metrics)
         if checkpoint_fn is not None and step > 0 and step % checkpoint_every == 0:
             checkpoint_fn(step, state)
+        if val_fn is not None and step > 0 and step % val_every == 0:
+            val_fn(step, state)
     return state
