@@ -174,6 +174,7 @@ class EncoderFreeSplat(nn.Module):
             cfg.num_surfaces * (2 + adapter_cfg.d_in), name="to_gaussians"
         )
         gaussians_out = []
+        params_out = []
         for bi in range(b):
             state = fuse_views(
                 feat_v[bi], coords_v[bi], dens_v[bi], wt_v[bi], depth_v[bi],
@@ -190,6 +191,7 @@ class EncoderFreeSplat(nn.Module):
                 context["intrinsics"][bi, 0],
                 (h, w),
             )
+            params_out.append(params)
             gaussians_out.append(
                 Gaussians(
                     means=state.coords,
@@ -204,9 +206,15 @@ class EncoderFreeSplat(nn.Module):
             lambda *xs: jnp.stack(xs), *gaussians_out
         )
         num_valid = jnp.sum(gaussians.mask, axis=-1)
+        # Visualization dump (reference encoder_freesplat.py:393-405).
+        visualizations = {
+            "scales": jnp.stack([p["scales"] for p in params_out]),
+            "rotations": jnp.stack([p["rotations"] for p in params_out]),
+        }
 
         results: dict[str, Any] = {
             "gaussians": gaussians,
+            "visualizations": visualizations,
             "num_gaussians": num_valid,
             "gs_ratio": num_valid / (v * hw),
             "depth_s-1": depths.reshape(b, v, h, w),

@@ -257,20 +257,20 @@ def _pixel_coords(tile_id, tw_local, col_off):
     return px, py
 
 
-def _tri_incl():
-    """(CHUNK, CHUNK) upper-triangular-inclusive ones: cumsum along lanes."""
-    return (
-        jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    ).astype(jnp.float32)
+def _lane_cumsum(x):
+    """Inclusive cumsum along the lane (instance) axis of (P, CHUNK).
 
-
-def _tri_strict_suffix():
-    """(CHUNK, CHUNK) strictly-lower ones: suffix sum along lanes."""
-    return (
-        jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-        > jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    ).astype(jnp.float32)
+    log2(CHUNK) shifted adds on the VPU — an order of magnitude cheaper
+    than the equivalent triangular-ones matmul at HIGHEST f32 precision,
+    and exactly associative-reordered f32 (well within parity tolerance).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < CHUNK:
+        shifted = pltpu.roll(x, shift=k, axis=1)
+        x = x + jnp.where(lane >= k, shifted, 0.0)
+        k *= 2
+    return x
 
 
 def _chunk_alphas(data, px, py, base, cnt):
@@ -292,10 +292,7 @@ def _chunk_alphas(data, px, py, base, cnt):
     dead = (power > 0.0) | (alpha < ALPHA_MIN) | jnp.logical_not(in_range)
     alpha = jnp.where(dead, 0.0, alpha)
     l1m = jnp.log1p(-alpha)
-    cum_incl = jax.lax.dot_general(
-        l1m, _tri_incl(), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
+    cum_incl = _lane_cumsum(l1m)
     return dx, dy, power, alpha_u, alpha, l1m, cum_incl, dead
 
 
@@ -453,10 +450,8 @@ def _backward_kernel(
             gvec, cols, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         )
         q = w * cdotg
-        suffix = jax.lax.dot_general(
-            q, _tri_strict_suffix(), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-        )
+        # Strict suffix over instances = row total - inclusive cumsum.
+        suffix = jnp.sum(q, axis=1, keepdims=True) - _lane_cumsum(q)
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
         contrib = jnp.logical_and(alive, jnp.logical_not(dead))
         dalpha = jnp.where(
