@@ -13,7 +13,7 @@ Training from scratch works out of the box.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -36,13 +36,14 @@ FEATURE_CHANNELS = (24, 48, 64, 160, 256)
 
 class SqueezeExcite(nn.Module):
     reduced: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.reduced, (1, 1), name="reduce")(s)
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, name="reduce")(s)
         s = nn.silu(s)
-        s = nn.Conv(x.shape[-1], (1, 1), name="expand")(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
         return x * nn.sigmoid(s)
 
 
@@ -56,6 +57,7 @@ class BNAct(nn.Module):
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-3,
+            dtype=x.dtype,
             name="bn",
         )(x)
         return nn.silu(x) if self.act else x
@@ -67,6 +69,7 @@ class FusedMBConv(nn.Module):
     stride: int
     expand: int
     train_bn: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -75,14 +78,14 @@ class FusedMBConv(nn.Module):
         ura = not self.train_bn
         if self.expand != 1:
             x = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
-                        padding="SAME", use_bias=False, name="conv_exp")(x)
+                        padding="SAME", use_bias=False, dtype=self.dtype, name="conv_exp")(x)
             x = BNAct(ura, name="bn1")(x)
-            x = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="conv_pwl")(x)
+            x = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pwl")(x)
             x = BNAct(ura, act=False, name="bn2")(x)
         else:
             x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
                         strides=self.stride, padding="SAME", use_bias=False,
-                        name="conv")(x)
+                        dtype=self.dtype, name="conv")(x)
             x = BNAct(ura, name="bn1")(x)
         if self.stride == 1 and inp.shape[-1] == self.out_ch:
             x = x + inp
@@ -96,6 +99,7 @@ class MBConv(nn.Module):
     expand: int
     se_ratio: float
     train_bn: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -103,15 +107,15 @@ class MBConv(nn.Module):
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
         ura = not self.train_bn
-        x = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw")(x)
+        x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
         x = BNAct(ura, name="bn1")(x)
         x = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
                     padding="SAME", feature_group_count=mid, use_bias=False,
-                    name="conv_dw")(x)
+                    dtype=self.dtype, name="conv_dw")(x)
         x = BNAct(ura, name="bn2")(x)
         if self.se_ratio > 0:
-            x = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), name="se")(x)
-        x = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="conv_pwl")(x)
+            x = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), dtype=self.dtype, name="se")(x)
+        x = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pwl")(x)
         x = BNAct(ura, act=False, name="bn3")(x)
         if self.stride == 1 and in_ch == self.out_ch:
             x = x + inp
@@ -123,15 +127,19 @@ class EfficientNetV2S(nn.Module):
 
     ``train_bn``: update batch statistics (the reference forces BN layers
     into train mode on every forward — ``encoder_freesplat.py:80-82,216``).
+    ``compute_dtype``: activation dtype (bf16 doubles MXU conv throughput;
+    params stay f32).
     """
 
     train_bn: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
         ura = not self.train_bn
+        x = x.astype(self.compute_dtype)
         x = nn.Conv(STEM_CH, (3, 3), strides=2, padding="SAME", use_bias=False,
-                    name="conv_stem")(x)
+                    dtype=self.compute_dtype, name="conv_stem")(x)
         x = BNAct(ura, name="bn_stem")(x)
         features = []
         for si, (btype, k, s, e, ch, n, se) in enumerate(EFFNETV2_S_CONFIG):
@@ -139,9 +147,11 @@ class EfficientNetV2S(nn.Module):
                 stride = s if bi == 0 else 1
                 name = f"stage{si}_block{bi}"
                 if btype == "fused":
-                    x = FusedMBConv(ch, k, stride, e, self.train_bn, name=name)(x)
+                    x = FusedMBConv(ch, k, stride, e, self.train_bn,
+                                    dtype=self.compute_dtype, name=name)(x)
                 else:
-                    x = MBConv(ch, k, stride, e, se, self.train_bn, name=name)(x)
+                    x = MBConv(ch, k, stride, e, se, self.train_bn,
+                               dtype=self.compute_dtype, name=name)(x)
             if si in FEATURE_STAGES:
                 features.append(x)
         return features

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from typing import Any
+
 from flax import linen as nn
 
 from ..ops.grid_sample import bilinear_sample
@@ -46,6 +48,7 @@ class CostVolume(nn.Module):
     num_depth_bins: int = 64
     mlp_channels: tuple[int, ...] = (32, 32, 1)
     plane_chunk: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -114,5 +117,5 @@ class CostVolume(nn.Module):
         )[:, :d]
 
         volume = MLP(self.mlp_channels, disable_final_activation=True,
-                     name="mlp")(combined)[..., 0]  # (b, d, n)
-        return volume.transpose(0, 2, 1).reshape(b, h, w, d)
+                     dtype=self.dtype, name="mlp")(combined)[..., 0]  # (b, d, n)
+        return volume.transpose(0, 2, 1).reshape(b, h, w, d).astype(jnp.float32)

@@ -47,6 +47,7 @@ class EncoderFreeSplatCfg:
     matching_dim: int = 48
     adapter: GaussianAdapterCfg = field(default_factory=GaussianAdapterCfg)
     train_bn: bool = True  # reference forces BN train mode every forward
+    compute_dtype: str = "float32"  # "bfloat16" halves conv time on MXU
 
 
 def pose_distance_matrix(extrinsics: jnp.ndarray) -> jnp.ndarray:
@@ -86,19 +87,23 @@ class EncoderFreeSplat(nn.Module):
         hw = h * w
         adapter_cfg = cfg.adapter
 
+        dtype = jnp.dtype(cfg.compute_dtype)
         flat = images.reshape(b * v, h, w, 3)
-        feats = EfficientNetV2S(train_bn=cfg.train_bn, name="backbone")(flat)
+        feats = EfficientNetV2S(
+            train_bn=cfg.train_bn, compute_dtype=dtype, name="backbone"
+        )(flat)
         # Project matching features to the matching dim (stride-4 scale).
         match_feats = feats[1]
         if match_feats.shape[-1] != cfg.matching_dim:
-            match_feats = nn.Conv(cfg.matching_dim, (1, 1), name="match_proj")(
-                match_feats
-            )
+            match_feats = nn.Conv(
+                cfg.matching_dim, (1, 1), dtype=dtype, name="match_proj"
+            )(match_feats)
         mh, mw = match_feats.shape[1:3]
 
         num_src = min(cfg.num_views, v) - 1
         cv_module = CostVolume(
-            num_depth_bins=cfg.num_depth_candidates, name="cost_volume"
+            num_depth_bins=cfg.num_depth_candidates, dtype=dtype,
+            name="cost_volume"
         )
         cost_volumes = []
         # Per batch element: select source views + sweep.
@@ -132,7 +137,9 @@ class EncoderFreeSplat(nn.Module):
             cost_volumes.append(cv)
         cost_volume = jnp.concatenate(cost_volumes, axis=0)  # (b*v, mh, mw, D)
 
-        cv_feats = CVEncoder(name="cv_encoder")(cost_volume, feats[1:])
+        cv_feats = CVEncoder(dtype=dtype, name="cv_encoder")(
+            cost_volume, feats[1:]
+        )
         dec_in = [feats[0]] + cv_feats
         outputs = DepthDecoder(
             num_output_channels=1 + cfg.d_feature,
@@ -140,10 +147,12 @@ class EncoderFreeSplat(nn.Module):
             far=cfg.far,
             num_samples=cfg.num_depth_candidates,
             log_planes=cfg.log_planes,
+            dtype=dtype,
             name="depth_decoder",
         )(dec_in)
 
-        # Full-res per-pixel Gaussian ingredients.
+        # Full-res per-pixel Gaussian ingredients (f32 from here on: PTF,
+        # adapter, and the rasterizer all run in full precision).
         skip = nn.Conv(cfg.d_feature, (7, 7), padding=3, name="hr_skip")(flat)
         skip = nn.relu(skip)
         gauss_feats = outputs["output_s-1"][..., 1:] + skip  # (b*v, h, w, C)

@@ -8,7 +8,7 @@ is NCHW torch).
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -22,24 +22,27 @@ class BasicBlock(nn.Module):
     """Residual block: conv3x3 -> lrelu -> conv3x3 (+ projection) -> lrelu.
 
     Reference: ``layers.py:24-80`` (norm_layer=Identity => bias=True).
+    ``dtype``: compute dtype (params stay f32).
     """
 
     features: int
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         identity = x
         out = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
-                      use_bias=True, name="conv1")(x)
+                      use_bias=True, dtype=self.dtype, name="conv1")(x)
         out = leaky_relu_02(out)
         out = nn.Conv(self.features, (3, 3), strides=1, padding=1,
-                      use_bias=True, name="conv2")(out)
+                      use_bias=True, dtype=self.dtype, name="conv2")(out)
         if x.shape[-1] != self.features or self.stride != 1:
             kernel = (1, 1) if self.stride == 1 else (3, 3)
             pad = 0 if self.stride == 1 else 1
             identity = nn.Conv(self.features, kernel, strides=self.stride,
-                               padding=pad, use_bias=True, name="downsample")(x)
+                               padding=pad, use_bias=True, dtype=self.dtype,
+                               name="downsample")(x)
         return leaky_relu_02(out + identity)
 
 
@@ -48,11 +51,12 @@ class MLP(nn.Module):
 
     channels: tuple[int, ...]
     disable_final_activation: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, name=f"dense_{i}")(x)
+            x = nn.Dense(ch, dtype=self.dtype, name=f"dense_{i}")(x)
             last = i == len(self.channels) - 1
             if not (last and self.disable_final_activation):
                 x = nn.leaky_relu(x, negative_slope=0.01)

@@ -24,11 +24,12 @@ from .layers import BasicBlock, interpolate_bilinear, upsample2x
 
 class DoubleBasicBlock(nn.Module):
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = BasicBlock(self.features, name="block0")(x)
-        return BasicBlock(self.features, name="block1")(x)
+        x = BasicBlock(self.features, dtype=self.dtype, name="block0")(x)
+        return BasicBlock(self.features, dtype=self.dtype, name="block1")(x)
 
 
 class CVEncoder(nn.Module):
@@ -39,16 +40,22 @@ class CVEncoder(nn.Module):
     """
 
     num_ch_outs: tuple[int, ...] = (64, 128, 256, 384)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, cost_volume, img_feats):
         x = cost_volume
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         outputs = []
         for i, ch in enumerate(self.num_ch_outs):
-            x = BasicBlock(ch, stride=1 if i == 0 else 2, name=f"ds_conv_{i}")(x)
-            x = jnp.concatenate([x, img_feats[i]], axis=-1)
-            x = BasicBlock(ch, name=f"conv_{i}a")(x)
-            x = BasicBlock(ch, name=f"conv_{i}b")(x)
+            x = BasicBlock(ch, stride=1 if i == 0 else 2, dtype=self.dtype,
+                           name=f"ds_conv_{i}")(x)
+            x = jnp.concatenate(
+                [x, img_feats[i].astype(x.dtype)], axis=-1
+            )
+            x = BasicBlock(ch, dtype=self.dtype, name=f"conv_{i}a")(x)
+            x = BasicBlock(ch, dtype=self.dtype, name=f"conv_{i}b")(x)
             outputs.append(x)
         return outputs
 
@@ -73,6 +80,7 @@ class DepthDecoder(nn.Module):
     log_planes: bool = True
     num_ch_dec: tuple[int, ...] = (64, 64, 128, 256)
     max_depth: int = 4
+    dtype: Any = None
 
     def depth_candidates(self) -> jnp.ndarray:
         if self.log_planes:
@@ -91,16 +99,17 @@ class DepthDecoder(nn.Module):
         md = self.max_depth
         # node[(i, j)] = feature at scale i after column j; column 0 = input.
         node: dict[tuple[int, int], jnp.ndarray] = {
-            (i, 0): f for i, f in enumerate(input_features)
+            (i, 0): (f.astype(self.dtype) if self.dtype is not None else f)
+            for i, f in enumerate(input_features)
         }
         head_out: dict[int, jnp.ndarray] = {}
         for j in range(1, md + 1):
             for i in range(md - j, -1, -1):
                 ch = self.num_ch_dec[i]
                 inputs = [
-                    BasicBlock(ch, name=f"right_conv_{i}{j - 1}")(node[(i, j - 1)]),
+                    BasicBlock(ch, dtype=self.dtype, name=f"right_conv_{i}{j - 1}")(node[(i, j - 1)]),
                     upsample2x(
-                        BasicBlock(ch, name=f"diag_conv_{i + 1}{j - 1}")(
+                        BasicBlock(ch, dtype=self.dtype, name=f"diag_conv_{i + 1}{j - 1}")(
                             node[(i + 1, j - 1)]
                         )
                     ),
@@ -108,12 +117,12 @@ class DepthDecoder(nn.Module):
                 if i + j != md:
                     inputs.append(
                         upsample2x(
-                            BasicBlock(ch, name=f"up_conv_{i + 1}{j}")(
+                            BasicBlock(ch, dtype=self.dtype, name=f"up_conv_{i + 1}{j}")(
                                 node[(i + 1, j)]
                             )
                         )
                     )
-                x = DoubleBasicBlock(ch, name=f"in_conv_{i}{j}")(
+                x = DoubleBasicBlock(ch, dtype=self.dtype, name=f"in_conv_{i}{j}")(
                     jnp.concatenate(inputs, axis=-1)
                 )
                 node[(i, j)] = x
@@ -123,9 +132,10 @@ class DepthDecoder(nn.Module):
                 if i + j == md:
                     h = x
                     if i != 0:
-                        h = BasicBlock(ch, name=f"output_pre_{i}")(h)
+                        h = BasicBlock(ch, dtype=self.dtype, name=f"output_pre_{i}")(h)
                     head_out[i] = nn.Conv(
-                        self.num_output_channels, (1, 1), name=f"output_{i}"
+                        self.num_output_channels, (1, 1), dtype=self.dtype,
+                        name=f"output_{i}"
                     )(h)
 
         outputs: dict[str, jnp.ndarray] = {}
@@ -134,13 +144,13 @@ class DepthDecoder(nn.Module):
         depth_planes0 = None
         for i in range(md - 1, -1, -1):
             outputs[f"output_s{i}"] = head_out[i]
-            planes = BasicBlock(self.num_samples, name=f"conv_depth_{i}a")(
+            planes = BasicBlock(self.num_samples, dtype=self.dtype, name=f"conv_depth_{i}a")(
                 head_out[i]
             )
-            planes = nn.Conv(self.num_samples, (1, 1), name=f"conv_depth_{i}b")(
+            planes = nn.Conv(self.num_samples, (1, 1), dtype=self.dtype, name=f"conv_depth_{i}b")(
                 planes
             )
-            planes = jax.nn.softmax(planes, axis=-1)  # (n, h, w, D)
+            planes = jax.nn.softmax(planes.astype(jnp.float32), axis=-1)  # f32 (n, h, w, D)
             disps = jnp.sum(planes * candidates, axis=-1, keepdims=True)
             if self.log_planes:
                 outputs[f"depth_s{i}"] = jnp.exp(disps)
@@ -159,10 +169,11 @@ class DepthDecoder(nn.Module):
             jnp.exp(fine) if self.log_planes else 1.0 / fine
         )
         up0 = upsample2x(head_out[0])
-        x = BasicBlock(128, name="conv_last_a")(up0)
+        x = BasicBlock(128, dtype=self.dtype, name="conv_last_a")(up0)
         outputs["output_s-1"] = nn.Conv(
-            self.num_output_channels, (1, 1), name="conv_last_b"
-        )(x)
+            self.num_output_channels, (1, 1), dtype=self.dtype,
+            name="conv_last_b"
+        )(x).astype(jnp.float32)
         outputs["depth_weights"] = jnp.max(
             interpolate_bilinear(
                 depth_planes0, (2 * h0, 2 * w0), align_corners=True

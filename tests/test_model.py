@@ -312,3 +312,27 @@ def test_encoder_local_source_selection():
     assert g.means.shape == (1, G, 3)
     assert int(results["num_gaussians"][0]) <= G
     assert np.isfinite(np.asarray(g.opacities)).all()
+
+
+def test_encoder_bf16_compute():
+    """bf16 compute dtype: outputs stay f32 and finite, params f32."""
+    cfg = EncoderFreeSplatCfg(
+        num_depth_candidates=8,
+        adapter=GaussianAdapterCfg(sh_degree=1),
+        train_bn=False,
+        compute_dtype="bfloat16",
+    )
+    context = make_context()
+    module = EncoderFreeSplat(cfg)
+    variables = module.init(jax.random.PRNGKey(0), context)
+    # Params stay f32.
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    results = module.apply(variables, context)
+    g = results["gaussians"]
+    assert g.means.dtype == jnp.float32
+    assert np.isfinite(np.asarray(g.means)).all()
+    assert np.isfinite(np.asarray(g.covariances)).all()
+    d = results["depth_s-1"]
+    assert d.dtype == jnp.float32
+    assert float(d.min()) >= 0.4 and float(d.max()) <= 16.0
