@@ -19,7 +19,7 @@ from typing import Any
 
 from flax import linen as nn
 
-from ..ops.grid_sample import bilinear_sample
+from ..ops.grid_sample import bilinear_sample_packed, pack_quad
 from .layers import MLP
 
 
@@ -76,6 +76,11 @@ class CostVolume(nn.Module):
         # Projection matrices: P = K @ src_T_cur (b, v, 3, 4).
         proj = jnp.einsum("bvij,bvjk->bvik", src_K, src_T_cur)[:, :, :3]
 
+        # Pack 2x2 neighborhoods so the warp needs one row-gather per
+        # sample (TPU gathers are row-rate-bound; this is the plane-sweep
+        # hot loop).
+        src_packed = pack_quad(src_feats.reshape(b * v, h, w, c))
+
         def sweep_chunk(depth_chunk):
             # depth_chunk: (dc,)
             cam = rays[:, None] * depth_chunk[None, :, None, None]  # (b,dc,n,3)
@@ -87,8 +92,8 @@ class CostVolume(nn.Module):
             uv = p[..., :2] * scale
             dc = uv.shape[2]
             n = uv.shape[3]
-            warped = bilinear_sample(
-                src_feats.reshape(b * v, h, w, c),
+            warped = bilinear_sample_packed(
+                src_packed,
                 uv.reshape(b * v, dc * n, 2),
             ).reshape(b, v, dc, n, c)
             mask = (z > 0).astype(warped.dtype)

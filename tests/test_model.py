@@ -336,3 +336,26 @@ def test_encoder_bf16_compute():
     d = results["depth_s-1"]
     assert d.dtype == jnp.float32
     assert float(d.min()) >= 0.4 and float(d.max()) <= 16.0
+
+
+def test_packed_bilinear_matches_plain():
+    from freesplat_tpu.ops.grid_sample import (
+        bilinear_sample,
+        bilinear_sample_packed,
+        pack_quad,
+    )
+
+    rng = np.random.default_rng(11)
+    feat = jnp.asarray(rng.normal(size=(3, 17, 23, 6)), dtype=jnp.float32)
+    coords = jnp.asarray(
+        rng.uniform(-3, 26, size=(3, 800, 2)), dtype=jnp.float32
+    )
+    a = bilinear_sample(feat, coords)
+    b = bilinear_sample_packed(pack_quad(feat), coords)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # Gradients agree too.
+    ga = jax.grad(lambda f: jnp.sum(bilinear_sample(f, coords) ** 2))(feat)
+    gb = jax.grad(
+        lambda f: jnp.sum(bilinear_sample_packed(pack_quad(f), coords) ** 2)
+    )(feat)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
