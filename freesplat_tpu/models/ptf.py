@@ -148,13 +148,29 @@ def _fuse_one_view(
     matched = fusion_mask & has_winner  # (HW,) pixels that merge
 
     # Gather the matched global slots' data (safe index for unmatched).
+    # One packed row-gather behind fusion barriers (XLA scalarizes gathers
+    # fused into elementwise work; rows beat per-field scalar gathers).
     wsafe = jnp.where(matched, winner, 0)
-    g_feat = state.feat[wsafe]
-    g_density = state.density[wsafe]
-    g_weight = state.weight[wsafe]
-    g_coords = state.coords[wsafe]
-    g_depth = state.depth[wsafe]
-    g_extr = state.extrinsics[wsafe]
+    packed = jnp.concatenate(
+        [
+            state.feat,
+            state.density,
+            state.weight,
+            state.coords,
+            state.depth[:, None],
+            state.extrinsics.reshape(g, 16),
+        ],
+        axis=-1,
+    )
+    packed_b, wsafe_b = jax.lax.optimization_barrier((packed, wsafe))
+    gathered = jax.lax.optimization_barrier(packed_b[wsafe_b])
+    c = state.feat.shape[1]
+    g_feat = gathered[:, :c]
+    g_density = gathered[:, c : c + 1]
+    g_weight = gathered[:, c + 1 : c + 2]
+    g_coords = gathered[:, c + 2 : c + 5]
+    g_depth = gathered[:, c + 5]
+    g_extr = gathered[:, c + 6 : c + 22].reshape(-1, 4, 4)
 
     # GRU latent fusion (reference :484-506): input = view pixel feature,
     # hidden = global feature; embeddings are PE of (density, weight) pairs.
