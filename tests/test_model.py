@@ -359,3 +359,19 @@ def test_packed_bilinear_matches_plain():
         lambda f: jnp.sum(bilinear_sample_packed(pack_quad(f), coords) ** 2)
     )(feat)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
+
+
+def test_encoder_fvt_8views_merges():
+    """FVT path: 8 context views, nearest-2 cost-volume sources, PTF
+    compacts the global set substantially (gs_ratio << 1)."""
+    cfg = EncoderFreeSplatCfg(
+        num_depth_candidates=8, num_views=3,
+        adapter=GaussianAdapterCfg(sh_degree=1), train_bn=False,
+    )
+    context = make_context(v=8, h=32, w=32)
+    module = EncoderFreeSplat(cfg)
+    variables = module.init(jax.random.PRNGKey(0), context)
+    results = module.apply(variables, context)
+    ratio = float(results["gs_ratio"][0])
+    assert results["gaussians"].means.shape == (1, 8 * 32 * 32, 3)
+    assert 0.1 < ratio < 0.95  # meaningful cross-view merging happened
