@@ -20,7 +20,8 @@ import jax
 import numpy as np
 
 from .config.config import RootCfg, load_config
-from .data.scannet import DatasetScannet, DatasetScannetCfg, data_loader
+from .data.data_module import DataLoaderStageCfg, DataModule
+from .data.scannet import DatasetScannet, DatasetScannetCfg
 from .data.synthetic import SyntheticCfg, synthetic_batches
 from .data.view_samplers import (
     ViewSamplerBounded,
@@ -53,6 +54,32 @@ def make_view_sampler(cfg: RootCfg, stage: str):
     )
 
 
+def make_data_module(cfg: RootCfg, step_fn=None) -> DataModule:
+    """Stage-aware loaders (reference ``data_module.py``)."""
+
+    def factory(stage: str):
+        return DatasetScannet(
+            DatasetScannetCfg(
+                roots=tuple(cfg.dataset.roots),
+                image_shape=cfg.dataset.image_shape,
+                near=cfg.dataset.near,
+                far=cfg.dataset.far,
+                load_depth=cfg.dataset.load_depth,
+                overfit_to_scene=cfg.dataset.overfit_to_scene,
+            ),
+            stage,
+            make_view_sampler(cfg, stage),
+        )
+
+    return DataModule(
+        factory,
+        DataLoaderStageCfg(
+            batch_size=cfg.data_loader.batch_size, seed=cfg.data_loader.seed
+        ),
+        step_fn=step_fn,
+    )
+
+
 def make_batches(cfg: RootCfg, stage: str, step_fn=None):
     if cfg.dataset.name == "synthetic":
         return synthetic_batches(
@@ -62,25 +89,12 @@ def make_batches(cfg: RootCfg, stage: str, step_fn=None):
                 seed=cfg.data_loader.seed,
             )
         )
-    ds = DatasetScannet(
-        DatasetScannetCfg(
-            roots=tuple(cfg.dataset.roots),
-            image_shape=cfg.dataset.image_shape,
-            near=cfg.dataset.near,
-            far=cfg.dataset.far,
-            load_depth=cfg.dataset.load_depth,
-            overfit_to_scene=cfg.dataset.overfit_to_scene,
-        ),
-        stage,
-        make_view_sampler(cfg, stage),
-    )
-    return data_loader(
-        ds,
-        batch_size=cfg.data_loader.batch_size,
-        shuffle=stage == "train",
-        seed=cfg.data_loader.seed,
-        step_fn=step_fn,
-    )
+    dm = make_data_module(cfg, step_fn=step_fn)
+    if stage == "train":
+        return dm.train_batches()
+    if stage == "val":
+        return dm.val_batches()
+    return dm.test_batches()
 
 
 def train(cfg: RootCfg) -> None:

@@ -49,6 +49,11 @@ class CostVolume(nn.Module):
     mlp_channels: tuple[int, ...] = (32, 32, 1)
     plane_chunk: int = 16
     dtype: Any = None
+    # "avg_mlp": AVGFeatureVolumeManager (warped-feature average + per-plane
+    # MLP head) — FreeSplat's runtime path.  "cosine": the base
+    # CostVolumeManager variant (reference cost_volume.py:235-341) — the
+    # volume is the view-averaged masked cosine similarity, no MLP.
+    similarity: str = "avg_mlp"
 
     @nn.compact
     def __call__(
@@ -76,6 +81,14 @@ class CostVolume(nn.Module):
         # Projection matrices: P = K @ src_T_cur (b, v, 3, 4).
         proj = jnp.einsum("bvij,bvjk->bvik", src_K, src_T_cur)[:, :, :3]
 
+        cosine = self.similarity == "cosine"
+        if cosine:
+            # Normalize once up front; the warp is linear so warped vectors
+            # are renormalized post-sample below.
+            cur_feats = cur_feats / (
+                jnp.linalg.norm(cur_feats, axis=-1, keepdims=True) + 1e-8
+            )
+
         # Pack 2x2 neighborhoods so the warp needs one row-gather per
         # sample (TPU gathers are row-rate-bound; this is the plane-sweep
         # hot loop).
@@ -97,11 +110,17 @@ class CostVolume(nn.Module):
                 uv.reshape(b * v, dc * n, 2),
             ).reshape(b, v, dc, n, c)
             mask = (z > 0).astype(warped.dtype)
+            if cosine:
+                warped = warped / (
+                    jnp.linalg.norm(warped, axis=-1, keepdims=True) + 1e-8
+                )
             dot = jnp.sum(warped * cur_feats.reshape(b, 1, 1, -1, c), axis=-1)
             dot = dot * mask[..., 0]  # (b, v, dc, n)
             nonzero = (dot != 0).astype(warped.dtype)
             denom = jnp.sum(nonzero, axis=1) + 1e-8  # (b, dc, n)
             dot_avg = jnp.sum(dot, axis=1) / denom
+            if cosine:
+                return dot_avg[..., None]
             feat_avg = (
                 jnp.sum(warped * nonzero[..., None], axis=1) / denom[..., None]
             )  # (b, dc, n, c)
@@ -116,11 +135,15 @@ class CostVolume(nn.Module):
         ) if pad else depths
         chunked = jax.lax.map(
             sweep_chunk, depths_padded.reshape(n_chunks, self.plane_chunk)
-        )  # (n_chunks, b, chunk, n, c+1)
+        )  # (n_chunks, b, chunk, n, c+1 | 1)
+        cc = 1 if cosine else c + 1
         combined = jnp.moveaxis(chunked, 0, 1).reshape(
-            b, n_chunks * self.plane_chunk, -1, c + 1
+            b, n_chunks * self.plane_chunk, -1, cc
         )[:, :d]
 
-        volume = MLP(self.mlp_channels, disable_final_activation=True,
-                     dtype=self.dtype, name="mlp")(combined)[..., 0]  # (b, d, n)
+        if cosine:
+            volume = combined[..., 0]  # (b, d, n)
+        else:
+            volume = MLP(self.mlp_channels, disable_final_activation=True,
+                         dtype=self.dtype, name="mlp")(combined)[..., 0]
         return volume.transpose(0, 2, 1).reshape(b, h, w, d).astype(jnp.float32)

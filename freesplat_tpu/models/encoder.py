@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -30,7 +31,7 @@ from .adapter import (
 )
 from .backbone import EfficientNetV2S
 from .cost_volume import CostVolume
-from .networks import CVEncoder, DepthDecoder, GRU
+from .networks import CVEncoder, DepthDecoder, GRU, positional_encoding
 from .ptf import fuse_views
 from .types import Gaussians
 
@@ -48,6 +49,32 @@ class EncoderFreeSplatCfg:
     adapter: GaussianAdapterCfg = field(default_factory=GaussianAdapterCfg)
     train_bn: bool = True  # reference forces BN train mode every forward
     compute_dtype: str = "float32"  # "bfloat16" halves conv time on MXU
+
+
+@dataclass
+class OpacityMappingCfg:
+    initial: float = 0.0
+    final: float = 0.0
+    warm_up: int = 1
+
+
+def map_pdf_to_opacity(
+    pdf: jnp.ndarray, global_step: int, cfg: OpacityMappingCfg | None = None
+) -> jnp.ndarray:
+    """Probability density -> opacity with a warm-up-scheduled exponent.
+
+    Parity: ``EncoderFreeSplat.map_pdf_to_opacity``
+    (reference ``encoder_freesplat.py:181-194``).  Dead code in the
+    reference's runtime path (opacities come from sigmoid densities), kept
+    for API completeness.  At exponent 1 (the default cfg) this is the
+    identity on pdf.
+    """
+    cfg = cfg or OpacityMappingCfg()
+    x = cfg.initial + min(global_step / cfg.warm_up, 1.0) * (
+        cfg.final - cfg.initial
+    )
+    exponent = 2.0**x
+    return 0.5 * (1.0 - (1.0 - pdf) ** exponent + pdf ** (1.0 / exponent))
 
 
 def pose_distance_matrix(extrinsics: jnp.ndarray) -> jnp.ndarray:
@@ -82,8 +109,19 @@ class EncoderFreeSplat(nn.Module):
         depth maps per scale, num_gaussians, gs_ratio.
         """
         cfg = self.cfg
+        # Accept host-loader numpy arrays when called eagerly (e.g. init).
+        context = {
+            k: jnp.asarray(x) if isinstance(x, (np.ndarray, jnp.ndarray)) else x
+            for k, x in context.items()
+        }
         images = context["image"]
         b, v, h, w, _ = images.shape
+        if h % 32 or w % 32:
+            raise ValueError(
+                f"image shape ({h}, {w}) must be divisible by 32: the "
+                "backbone has 5 stride-2 stages and the dense-grid decoder "
+                "re-upsamples them (reference trains at 384x512)"
+            )
         hw = h * w
         adapter_cfg = cfg.adapter
 
@@ -172,6 +210,14 @@ class EncoderFreeSplat(nn.Module):
 
         def gru_apply(inp, hid, in_emb, hid_emb):
             return gru(inp, hid, in_emb, hid_emb)
+
+        if self.is_initializing():
+            # Materialize GRU params outside lax.scan: fuse_views runs the
+            # GRU inside a scan body for >4 views, where flax cannot
+            # *create* variables (reuse is fine).
+            zf = jnp.zeros((1, cfg.d_feature), gauss_feats.dtype)
+            ze = positional_encoding(jnp.zeros((1, 2), gauss_feats.dtype), 6)
+            gru(zf, zf, ze, ze)
 
         feat_v = gauss_feats.reshape(b, v, hw, cfg.d_feature)
         dens_v = densities.reshape(b, v, hw, 1)

@@ -80,10 +80,19 @@ def fuse_views(
     gru_apply: Callable[..., jnp.ndarray],
     depth_thres: float = 0.1,
     pe_freqs: int = 6,
+    use_scan: bool | None = None,
 ) -> PTFState:
-    """Run PTF over all views; returns the fused global buffer."""
+    """Run PTF over all views; returns the fused global buffer.
+
+    ``use_scan``: process views with ``lax.scan`` (one traced body) instead
+    of an unrolled python loop.  Defaults to scan for >4 views — the FVT
+    whole-scene setting runs up to ~30 views, where an unrolled graph
+    multiplies compile time ~Vx for no runtime benefit.
+    """
     v, hw, c = feats.shape
     g = v * hw
+    if use_scan is None:
+        use_scan = v > 4
 
     def slot_range(i):
         return slice(i * hw, (i + 1) * hw)
@@ -102,13 +111,32 @@ def fuse_views(
         valid=jnp.zeros((g,), bool).at[slot_range(0)].set(True),
     )
 
-    for i in range(1, v):
-        state = _fuse_one_view(
-            state, i, hw,
-            feats[i], coords[i], densities[i], weights[i], depths[i],
-            extrinsics[i], intrinsics[i], image_shape,
+    if not use_scan:
+        for i in range(1, v):
+            state = _fuse_one_view(
+                state, i, hw,
+                feats[i], coords[i], densities[i], weights[i], depths[i],
+                extrinsics[i], intrinsics[i], image_shape,
+                gru_apply, depth_thres, pe_freqs,
+            )
+        return state
+
+    def body(carry, xs):
+        i, feat_i, coords_i, density_i, weight_i, depth_i, extr_i, intr_i = xs
+        new_state = _fuse_one_view(
+            carry, i, hw,
+            feat_i, coords_i, density_i, weight_i, depth_i,
+            extr_i, intr_i, image_shape,
             gru_apply, depth_thres, pe_freqs,
         )
+        return new_state, None
+
+    xs = (
+        jnp.arange(1, v, dtype=jnp.int32),
+        feats[1:], coords[1:], densities[1:], weights[1:], depths[1:],
+        extrinsics[1:], intrinsics[1:],
+    )
+    state, _ = jax.lax.scan(body, state, xs)
     return state
 
 
@@ -205,18 +233,29 @@ def _fuse_one_view(
     )
 
     # Unmerged pixels of view i claim their own slots (reference's append,
-    # :508-519 — unmatched = pixels outside fusion_mask).
+    # :508-519 — unmatched = pixels outside fusion_mask).  Written with
+    # dynamic_update_slice so ``i`` may be a lax.scan tracer.
     new = ~fusion_mask  # (HW,)
-    sl = slice(i * hw, (i + 1) * hw)
+    start = i * hw
+
+    def put(buf, block):
+        zeros = (0,) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, block, (start, *zeros))
+
     state = state._replace(
-        feat=state.feat.at[sl].set(jnp.where(new[:, None], feat_i, 0.0)),
-        coords=state.coords.at[sl].set(jnp.where(new[:, None], coords_i, 0.0)),
-        density=state.density.at[sl].set(jnp.where(new[:, None], density_i, 0.0)),
-        weight=state.weight.at[sl].set(jnp.where(new[:, None], weight_i, 0.0)),
-        depth=state.depth.at[sl].set(jnp.where(new, depth_i, 0.0)),
-        extrinsics=state.extrinsics.at[sl].set(
-            jnp.where(new[:, None, None], extrinsic_i[None], 0.0)
+        feat=put(state.feat, jnp.where(new[:, None], feat_i, 0.0)),
+        coords=put(state.coords, jnp.where(new[:, None], coords_i, 0.0)),
+        density=put(state.density, jnp.where(new[:, None], density_i, 0.0)),
+        weight=put(state.weight, jnp.where(new[:, None], weight_i, 0.0)),
+        depth=put(state.depth, jnp.where(new, depth_i, 0.0)),
+        extrinsics=put(
+            state.extrinsics,
+            jnp.where(
+                new[:, None, None],
+                jnp.broadcast_to(extrinsic_i[None], (hw, 4, 4)),
+                0.0,
+            ),
         ),
-        valid=state.valid.at[sl].set(new),
+        valid=put(state.valid, new),
     )
     return state

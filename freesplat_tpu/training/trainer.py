@@ -43,7 +43,10 @@ class TrainState(flax_core.FrozenDict):
 
 def init_state(cfg: TrainCfg, rng: jax.Array, example_batch: dict) -> dict:
     encoder = EncoderFreeSplat(cfg.encoder)
-    variables = encoder.init(rng, example_batch["context"])
+    # init runs eagerly (no jit), so host-loader numpy arrays must be
+    # promoted to jnp here (jit'd paths convert implicitly).
+    context = jax.tree_util.tree_map(jnp.asarray, example_batch["context"])
+    variables = encoder.init(rng, context)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg.optimizer)

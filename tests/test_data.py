@@ -240,3 +240,98 @@ def test_scannet_loader_fixture(tmp_path):
     batch = next(data_loader(ds, batch_size=1, step_fn=lambda: 0))
     assert batch["context"]["image"].shape[0] == 1
     assert batch["scene"] == ["scene0000_00"]
+
+
+class _FakeDataset:
+    """Map-style dataset of trivially collatable examples."""
+
+    def __init__(self, n=5):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {
+            "context": {"image": np.full((2, 4, 4, 3), float(i), np.float32)},
+            "target": {"image": np.full((1, 4, 4, 3), float(i), np.float32)},
+            "scene": f"s{i}",
+        }
+
+
+def test_data_module_stages_and_shim():
+    from freesplat_tpu.data.data_module import (
+        DataLoaderStageCfg,
+        DataModule,
+        Prefetcher,
+        ValidationWrapper,
+    )
+
+    calls = []
+
+    def shim(batch):
+        calls.append(1)
+        batch["shimmed"] = True
+        return batch
+
+    dm = DataModule(
+        lambda stage: _FakeDataset(5),
+        DataLoaderStageCfg(batch_size=1, seed=0),
+        shim=shim,
+        prefetch=0,
+    )
+
+    # Test stage: sequential, non-looping, shimmed.
+    test_scenes = [b["scene"][0] for b in dm.test_batches()]
+    assert test_scenes == [f"s{i}" for i in range(5)]
+    assert len(calls) == 5
+
+    # Train stage: loops forever, shuffled.
+    it = dm.train_batches()
+    seen = [next(it)["scene"][0] for _ in range(12)]
+    assert len(seen) == 12 and set(seen) <= {f"s{i}" for i in range(5)}
+
+    # Val stage: one random example per pass (ValidationWrapper semantics).
+    vw = ValidationWrapper(_FakeDataset(50), seed=3)
+    assert len(vw) == 1
+    vit = iter(vw)
+    draws = {next(vit)["scene"] for _ in range(20)}
+    assert len(draws) > 1  # fresh random draw each pass
+
+    vb = dm.val_batches()
+    batch = next(vb)
+    assert batch["shimmed"] and batch["context"]["image"].shape[0] == 1
+
+    # Prefetcher preserves order and terminates.
+    pf = Prefetcher(iter(range(7)), depth=2)
+    assert list(pf) == list(range(7))
+    pf2 = Prefetcher(iter(range(1000)), depth=2)
+    assert next(pf2) == 0
+    pf2.close()
+
+
+def test_data_module_step_fn_reaches_sampler():
+    from freesplat_tpu.data.data_module import DataLoaderStageCfg, DataModule
+
+    class _SamplerSpy:
+        def __init__(self):
+            self.steps = []
+
+        def set_step(self, s):
+            self.steps.append(s)
+
+    class _DS(_FakeDataset):
+        def __init__(self):
+            super().__init__(3)
+            self.view_sampler = _SamplerSpy()
+
+    ds = _DS()
+    dm = DataModule(
+        lambda stage: ds,
+        DataLoaderStageCfg(batch_size=1, seed=0),
+        step_fn=lambda: 42,
+        prefetch=0,
+    )
+    it = dm.train_batches()
+    next(it)
+    assert ds.view_sampler.steps == [42]

@@ -66,3 +66,27 @@ def test_test_harness_synthetic(tmp_path):
     assert (out_dir / scene / "color" / "0000.png").exists()
     assert (out_dir / scene / "color" / "0000_gt.png").exists()
     assert (out_dir / scene / "context" / "0000.png").exists()
+
+
+def test_videoize_index(tmp_path):
+    import json
+
+    from freesplat_tpu.scripts.generate_video_evaluation_index import (
+        main as video_main,
+        videoize_index,
+    )
+
+    index = {
+        "sceneA": {"context": [3, 9], "target": [5]},
+        "sceneB": None,
+    }
+    out = videoize_index(index)
+    assert out["sceneA"]["target"] == list(range(3, 10))
+    assert out["sceneA"]["context"] == [3, 9]
+    assert out["sceneB"] is None
+
+    src = tmp_path / "in.json"
+    dst = tmp_path / "out.json"
+    src.write_text(json.dumps(index))
+    video_main([str(src), str(dst)])
+    assert json.loads(dst.read_text())["sceneA"]["target"][0] == 3

@@ -20,7 +20,7 @@ from freesplat_tpu.models.networks import (
     GRU,
     positional_encoding,
 )
-from freesplat_tpu.models.ptf import fuse_views
+from freesplat_tpu.models.ptf import PTFState, fuse_views
 from freesplat_tpu.models.adapter import GaussianAdapterCfg
 
 H, W = 64, 64
@@ -58,55 +58,59 @@ def test_inverse_depth_planes():
 
 
 def test_cost_volume_peaks_at_true_depth():
-    """A textured plane at known depth should produce the best correlation
-    at the matching plane when warped between two known cameras."""
-    rng = np.random.default_rng(1)
+    """A textured fronto-parallel plane at known depth must produce the
+    strongest cosine correlation at the sweep plane nearest that depth."""
     h = w = 16
     c = 8
     depth_true = 3.0
-    # Identity current camera; source camera translated in x.
+    baseline = 0.4
+    fx = fy = float(w)
     intr = jnp.array(
-        [[w, 0, w / 2], [0, h, h / 2], [0, 0, 1]], dtype=jnp.float32
+        [[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]], dtype=jnp.float32
     )
     k44 = jnp.eye(4).at[:3, :3].set(intr)
-    t = jnp.eye(4).at[0, 3].set(-0.2)  # src_T_cur: shift
-    feat = jnp.asarray(rng.normal(size=(1, h, w, c)), dtype=jnp.float32)
+    # src_T_cur maps cur-camera points into the src camera (shifted +x).
+    src_T_cur = jnp.eye(4).at[0, 3].set(-baseline)
 
-    # Build source features = current features warped to the source view
-    # for the true depth (so correlation at depth_true is maximal).
-    from freesplat_tpu.ops.grid_sample import bilinear_sample
+    def texture(x, y):
+        # Smooth multi-frequency texture of world-plane coordinates.
+        ks = jnp.arange(1, c + 1, dtype=jnp.float32)
+        return jnp.sin(3.0 * ks * x[..., None] + 5.0 * y[..., None] * ks)
 
     ys, xs = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32) + 0.5,
         jnp.arange(w, dtype=jnp.float32) + 0.5,
         indexing="ij",
     )
-    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], -1).reshape(-1, 3)
-    rays = jnp.einsum("ij,nj->ni", jnp.linalg.inv(intr), pix)
-    cam = rays * depth_true
-    src = cam + jnp.array([-0.2, 0.0, 0.0])
-    uv = jnp.einsum("ij,nj->ni", intr, src)
-    uv = uv[:, :2] / uv[:, 2:]
-    # src_feat sampled AT uv should equal cur_feat: so we must place
-    # cur_feat values at positions uv in the source image -> inverse warp.
-    # Easier: define src_feat on its own grid and warp src->cur for checks;
-    # instead simply test volume shape/finiteness + argmax reasonableness
-    # using a translated copy.
-    src_feat = feat  # fronto-parallel plane at depth_true with zero parallax
-    # With zero translation the correlation is depth-independent; use the
-    # translated camera and check outputs are finite and shaped correctly.
-    module = CostVolume(num_depth_bins=16, plane_chunk=8)
-    params = module.init(
-        jax.random.PRNGKey(0),
-        feat, src_feat[None], t[None, None], k44[None, None], k44[None],
-        0.5, 15.0,
-    )
-    vol = module.apply(
-        params, feat, src_feat[None], t[None, None], k44[None, None],
-        k44[None], 0.5, 15.0,
-    )
-    assert vol.shape == (1, h, w, 16)
-    assert np.all(np.isfinite(np.asarray(vol)))
+    # World point each cur pixel sees on the z=depth_true plane.
+    wx_cur = (xs - w / 2) / fx * depth_true
+    wy_cur = (ys - h / 2) / fy * depth_true
+    cur_feat = texture(wx_cur, wy_cur)[None]  # (1, h, w, c)
+    # Src camera center sits at +baseline: its pixel rays hit the plane at
+    # world x shifted by the baseline.
+    wx_src = (xs - w / 2) / fx * depth_true + baseline
+    src_feat = texture(wx_src, wy_cur)[None]
+
+    for sim in ("avg_mlp", "cosine"):
+        module = CostVolume(num_depth_bins=16, plane_chunk=8, similarity=sim)
+        args = (
+            cur_feat, src_feat[None], src_T_cur[None, None],
+            k44[None, None], jnp.linalg.inv(k44)[None], 1.0, 10.0,
+        )
+        params = module.init(jax.random.PRNGKey(0), *args)
+        vol = np.asarray(module.apply(params, *args))  # (1, h, w, D)
+        assert vol.shape == (1, h, w, 16)
+        assert np.all(np.isfinite(vol))
+        assert np.abs(vol).max() > 0.1  # the sweep actually sampled
+        if sim == "cosine":
+            # Central pixels: the best plane is the one nearest depth_true.
+            depths = np.asarray(inverse_depth_planes(16, 1.0, 10.0))
+            expect = np.argmin(np.abs(depths - depth_true))
+            centre = vol[0, 4:-4, 4:-4]
+            best = np.argmax(centre, axis=-1)
+            hits = np.mean(np.abs(best - expect) <= 1)
+            assert hits > 0.8, (expect, np.bincount(best.ravel()))
+            assert centre.max() > 0.95  # near-perfect similarity at match
 
 
 def test_depth_decoder_shapes_and_range():
@@ -375,3 +379,93 @@ def test_encoder_fvt_8views_merges():
     ratio = float(results["gs_ratio"][0])
     assert results["gaussians"].means.shape == (1, 8 * 32 * 32, 3)
     assert 0.1 < ratio < 0.95  # meaningful cross-view merging happened
+
+
+def test_cost_volume_cosine_variant():
+    """The base CostVolumeManager mode: cosine similarity, no MLP, values
+    bounded to [-1, 1]."""
+    rng = np.random.default_rng(4)
+    h = w = 8
+    c = 6
+    intr = jnp.array(
+        [[w, 0, w / 2], [0, h, h / 2], [0, 0, 1]], dtype=jnp.float32
+    )
+    k44 = jnp.eye(4).at[:3, :3].set(intr)
+    t = jnp.eye(4).at[0, 3].set(-0.1)
+    feat = jnp.asarray(rng.normal(size=(1, h, w, c)), dtype=jnp.float32)
+
+    module = CostVolume(num_depth_bins=8, plane_chunk=4, similarity="cosine")
+    args = (
+        feat, feat[None], t[None, None], k44[None, None],
+        jnp.linalg.inv(k44)[None], 0.5, 15.0,
+    )
+    params = module.init(jax.random.PRNGKey(0), *args)
+    # No MLP parameters in the cosine variant.
+    assert jax.tree_util.tree_leaves(params) == []
+    vol = module.apply(params, *args)
+    assert vol.shape == (1, h, w, 8)
+    v = np.asarray(vol)
+    assert np.all(np.isfinite(v)) and np.all(v >= -1.001) and np.all(v <= 1.001)
+    assert np.abs(v).max() > 0.1  # in-bounds sweep actually sampled
+
+
+def test_map_pdf_to_opacity():
+    from freesplat_tpu.models.encoder import OpacityMappingCfg, map_pdf_to_opacity
+
+    pdf = jnp.linspace(0.0, 1.0, 11)
+    # Default cfg -> exponent 1 -> identity.
+    out = map_pdf_to_opacity(pdf, global_step=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pdf), atol=1e-6)
+    # Warm-up schedule: exponent interpolates 2^initial -> 2^final.
+    cfg = OpacityMappingCfg(initial=0.0, final=2.0, warm_up=100)
+    mid = map_pdf_to_opacity(pdf, global_step=50, cfg=cfg)  # exponent 2
+    expect = 0.5 * (1 - (1 - pdf) ** 2 + pdf**0.5)
+    np.testing.assert_allclose(np.asarray(mid), np.asarray(expect), atol=1e-6)
+    end = map_pdf_to_opacity(pdf, global_step=1000, cfg=cfg)  # exponent 4
+    assert float(end[5]) > float(mid[5])  # sharper mapping pushes mid-pdf up
+
+
+def test_ptf_scan_matches_loop():
+    """lax.scan PTF (many-view path) is bit-identical to the unrolled loop."""
+    rng = np.random.default_rng(9)
+    v, h, w, c = 5, 6, 6, 8
+    hw = h * w
+    feats = jnp.asarray(rng.normal(size=(v, hw, c)), dtype=jnp.float32)
+    depths = jnp.asarray(rng.uniform(1.5, 3.0, (v, hw)), dtype=jnp.float32)
+    intr = jnp.tile(
+        jnp.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], jnp.float32),
+        (v, 1, 1),
+    )
+    extr = jnp.tile(jnp.eye(4, dtype=jnp.float32), (v, 1, 1))
+    extr = extr.at[:, 0, 3].set(jnp.linspace(0.0, 0.4, v))
+    from freesplat_tpu.models.adapter import unproject_depth
+
+    coords = unproject_depth(
+        depths.reshape(v, h, w), intr, extr, (h, w)
+    ).reshape(v, hw, 3)
+    # Nudge off exact half-pixel reprojections: XLA may fuse the u = x/z*f+c
+    # chain differently under lax.scan, and a 1-ulp difference at .5 flips
+    # banker's rounding (same quirk as the torch reference's round()).
+    coords = coords - jnp.array([0.23 * 2.0 / w, 0.17 * 2.0 / h, 0.0])
+    dens = jnp.asarray(rng.uniform(0.1, 0.9, (v, hw, 1)), dtype=jnp.float32)
+    wts = jnp.asarray(rng.uniform(0.1, 0.9, (v, hw, 1)), dtype=jnp.float32)
+
+    def gru_apply(inp, hid, ie, he):
+        return 0.3 * inp + 0.7 * hid + 0.01 * ie.sum(-1, keepdims=True)
+
+    loop = fuse_views(
+        feats, coords, dens, wts, depths, extr, intr, (h, w), gru_apply,
+        use_scan=False,
+    )
+    scan = fuse_views(
+        feats, coords, dens, wts, depths, extr, intr, (h, w), gru_apply,
+        use_scan=True,
+    )
+    for name in PTFState._fields:
+        a, b_ = np.asarray(getattr(loop, name)), np.asarray(getattr(scan, name))
+        if a.dtype == bool:
+            np.testing.assert_array_equal(a, b_, err_msg=name)
+        else:
+            # Merge decisions must agree exactly; values may differ by ulps
+            # (XLA fuses the arithmetic differently inside scan).
+            np.testing.assert_allclose(a, b_, atol=1e-5, rtol=1e-5, err_msg=name)
