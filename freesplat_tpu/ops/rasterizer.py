@@ -21,8 +21,11 @@ is rebuilt around the TPU execution model:
     ``cumsum(log(1 - alpha))`` along lanes, computed with a triangular-ones
     matmul on the MXU — no scalar loop, no transposes anywhere.
 4.  **Backward** is a second Pallas kernel walking chunks in reverse with
-    a suffix-dot-product carry.  Because every sorted instance belongs to
-    exactly one tile, per-instance gradients need no atomics; the
+    a suffix-dot-product carry, resuming from the forward's saved stop
+    state (final unmasked log transmittance + stop chunk, output channels
+    5-6) so it never re-walks chunks forward and inherits the forward's
+    early termination.  Because every sorted instance belongs to exactly
+    one tile, per-instance gradients need no atomics; the
     instance->gaussian reduction is the autodiff transpose of the gather
     that built the instance array.
 
@@ -358,7 +361,7 @@ def _forward_kernel(start_ref, cnt_ref, tw_ref, inst_hbm, out_ref, chunk_vmem, s
         jnp.zeros((P, 1), jnp.float32),
         jnp.zeros((P, 4), jnp.float32),
     )
-    c_stop, _, log_t_eff, acc = jax.lax.while_loop(cond, body, init)
+    c_stop, log_t_all, log_t_eff, acc = jax.lax.while_loop(cond, body, init)
 
     # Early termination leaves the prefetched chunk's DMA in flight.
     @pl.when(c_stop < n_chunks)
@@ -367,12 +370,20 @@ def _forward_kernel(start_ref, cnt_ref, tw_ref, inst_hbm, out_ref, chunk_vmem, s
 
     out_ref[0, :, 0:4] = acc
     out_ref[0, :, 4:5] = log_t_eff
-    out_ref[0, :, 5:8] = jnp.zeros((P, 3), jnp.float32)
+    # Backward residuals: the unmasked log transmittance after the last
+    # composited chunk and the stop-chunk index.  The backward kernel
+    # resumes its reverse walk from exactly this state instead of
+    # re-walking every chunk forward to recompute it (and chunks past
+    # c_stop have identically zero gradient: every pixel's unmasked T is
+    # already below the termination threshold).
+    out_ref[0, :, 5:6] = log_t_all
+    out_ref[0, :, 6:7] = jnp.full((P, 1), c_stop.astype(jnp.float32))
+    out_ref[0, :, 7:8] = jnp.zeros((P, 1), jnp.float32)
 
 
 def _backward_kernel(
-    start_ref, cnt_ref, tw_ref, inst_hbm, cot_ref, dinst_hbm,
-    chunk_vmem, dchunk_vmem, in_sem, out_sem,
+    start_ref, cnt_ref, tw_ref, cstop_ref, inst_hbm, fwd_ref, cot_ref,
+    dinst_hbm, chunk_vmem, dchunk_vmem, in_sem, out_sem,
 ):
     t = pl.program_id(0)
     start = start_ref[t]
@@ -390,40 +401,26 @@ def _backward_kernel(
             in_sem.at[slot],
         )
 
-    # Phase 1: recompute the final unmasked log transmittance (it both
-    # drives the termination test and equals the composited stream
-    # wherever instances are still alive).  Double-buffered forward walk.
-    @pl.when(n_chunks > 0)
+    # Reverse walk from the forward's stop chunk.  The forward saved the
+    # unmasked log transmittance after its last composited chunk (channel
+    # 5) and the stop-chunk index (prefetched per tile), so no forward
+    # recompute walk is needed, and chunks past the stop have identically
+    # zero gradient (every pixel's unmasked T is below the termination
+    # threshold there) — the wrapper zeroes their dinst slots.  Carry the
+    # suffix-dot accumulator and the log transmittance at the END of the
+    # current chunk; the chunk-start value is recovered by subtracting
+    # the chunk's own sum (the log-space analog of the CUDA backward's
+    # division-based recompute).
+    n_loop = jnp.minimum(cstop_ref[t], n_chunks)
+    log_t_final = fwd_ref[0, :, 5:6]
+
+    @pl.when(n_loop > 0)
     def _():
-        in_dma(0, 0).start()
-
-    def fwd_body(c, log_t_all):
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            in_dma(c + 1, 1 - slot).start()
-
-        in_dma(c, slot).wait()
-        data = chunk_vmem[slot]
-        _, _, _, _, _, l1m, _, _ = _chunk_alphas(data, px, py, c * CHUNK, cnt)
-        return log_t_all + jnp.sum(l1m, axis=1, keepdims=True)
-
-    log_t_final = jax.lax.fori_loop(
-        0, n_chunks, fwd_body, jnp.zeros((P, 1), jnp.float32)
-    )
-
-    # Phase 2: reverse walk.  Carry the suffix-dot accumulator and the
-    # log transmittance at the END of the current chunk; the chunk-start
-    # value is recovered by subtracting the chunk's own sum (the log-space
-    # analog of the CUDA backward's division-based recompute).
-    @pl.when(n_chunks > 0)
-    def _():
-        in_dma(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).start()
+        in_dma(n_loop - 1, jax.lax.rem(n_loop - 1, 2)).start()
 
     def bwd_body(i, carry):
         sdot, log_t_end = carry
-        c = n_chunks - 1 - i
+        c = n_loop - 1 - i
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c - 1 >= 0)
@@ -499,12 +496,12 @@ def _backward_kernel(
         return sdot + jnp.sum(q, axis=1, keepdims=True), log_t0
 
     jax.lax.fori_loop(
-        0, n_chunks, bwd_body,
+        0, n_loop, bwd_body,
         (jnp.zeros((P, 1), jnp.float32), log_t_final),
     )
 
     # Drain the last (up to two) in-flight output writes.
-    @pl.when(n_chunks > 0)
+    @pl.when(n_loop > 0)
     def _():
         pltpu.make_async_copy(
             dchunk_vmem.at[0],
@@ -512,7 +509,7 @@ def _backward_kernel(
             out_sem.at[0],
         ).wait()
 
-    @pl.when(n_chunks > 1)
+    @pl.when(n_loop > 1)
     def _():
         pltpu.make_async_copy(
             dchunk_vmem.at[1],
@@ -553,16 +550,20 @@ def _rasterize_tiles_fwd_impl(inst, tile_start, tile_count, tw_arr, num_tiles):
 
 def _rasterize_tiles_fwd(inst, tile_start, tile_count, tw_arr, num_tiles):
     out = _rasterize_tiles_fwd_impl(inst, tile_start, tile_count, tw_arr, num_tiles)
-    return out, (inst, tile_start, tile_count, tw_arr)
+    return out, (inst, tile_start, tile_count, tw_arr, out)
 
 
 def _rasterize_tiles_bwd(num_tiles, residuals, cot):
-    inst, tile_start, tile_count, tw_arr = residuals
+    inst, tile_start, tile_count, tw_arr, fwd_out = residuals
+    # Per-tile stop chunk saved by the forward (channel 6, replicated over
+    # the tile's pixels) — the backward resumes its reverse walk there.
+    c_stop = jax.lax.stop_gradient(fwd_out[:, 0, 6]).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -578,10 +579,11 @@ def _rasterize_tiles_bwd(num_tiles, residuals, cot):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(inst.shape, jnp.float32),
         interpret=_use_interpret(),
-    )(tile_start, tile_count, tw_arr, inst, cot)
+    )(tile_start, tile_count, tw_arr, c_stop, inst, fwd_out, cot)
     # Aligned slots never written by any tile program (per-tile alignment
-    # padding beyond the chunk-rounded count, and the MAX_CHUNKS clamp)
-    # keep undefined values — zero them.
+    # padding beyond the chunk-rounded count, the MAX_CHUNKS clamp, and
+    # chunks past the forward's stop chunk) keep undefined values — zero
+    # them.
     acap = inst.shape[1]
     slots = jnp.arange(acap, dtype=jnp.int32)
     owner_marker = jnp.zeros(acap, jnp.int32).at[tile_start[1:]].add(
@@ -590,8 +592,11 @@ def _rasterize_tiles_bwd(num_tiles, residuals, cot):
     owner = jnp.clip(jnp.cumsum(owner_marker), 0, num_tiles - 1)
     local = slots - tile_start[owner]
     written = jnp.minimum(
-        -(-jnp.minimum(tile_count, MAX_CHUNKS * CHUNK) // CHUNK) * CHUNK,
-        MAX_CHUNKS * CHUNK,
+        jnp.minimum(
+            -(-jnp.minimum(tile_count, MAX_CHUNKS * CHUNK) // CHUNK) * CHUNK,
+            MAX_CHUNKS * CHUNK,
+        ),
+        c_stop * CHUNK,
     )
     covered = (local >= 0) & (local < written[owner])
     dinst = jnp.where(covered[None, :], dinst, 0.0)
