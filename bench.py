@@ -56,17 +56,20 @@ def main() -> None:
         return jnp.mean((color - target) ** 2)
 
     step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
-    jax.block_until_ready(step(means, cov, harm, opac))  # compile
-    # Pipelined timing (async dispatches, one final block): the tunnel's
-    # completion notification costs ~30 ms per block, which a training
-    # loop pays once per step chain, not per call.
-    reps = 16
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = step(means, cov, harm, opac)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
+    # Honest timing: block_until_ready does NOT reliably block on the axon
+    # tunnel (see utils/timing.py); chain each dispatch on the previous
+    # loss scalar and fetch one value at the end so every step must run.
+    def chained(reps: int) -> float:
+        carry = jnp.float32(0.0)
+        t0 = time.time()
+        for _ in range(reps):
+            val, _ = step(means + carry * 0, cov, harm, opac)
+            carry = val
+        float(carry)
+        return (time.time() - t0) / reps
+
+    chained(2)  # compile + warmup
+    dt = chained(16)
     rays_per_s = h * w / dt
 
     baseline_path = os.path.join(

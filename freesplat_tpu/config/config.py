@@ -95,7 +95,11 @@ def _scannet(views: int, fvt: bool = False) -> RootCfg:
             ),
         ),
         encoder=EncoderFreeSplatCfg(
-            num_views=views,
+            # FVT trains with 8 random context views but caps cost-volume
+            # source selection at 5 (reference
+            # config/experiment/scannet/fvt.yaml:24 ``num_views: 5``), so
+            # nearest-k source selection activates when v > num_views.
+            num_views=5 if fvt else views,
             num_depth_candidates=128,
             log_planes=True,
             near=0.5,

@@ -35,6 +35,10 @@ class DecoderOutput(NamedTuple):
     color: jnp.ndarray  # (b, v, h, w, 3)
     depth: jnp.ndarray  # (b, v, h, w)
     alpha: jnp.ndarray  # (b, v, h, w)
+    # (b, v) int32 rasterizer instances silently truncated (capacity /
+    # MAX_CHUNKS overflow).  Zero in normal operation; callers should warn
+    # and raise ``capacity_factor`` when nonzero.
+    dropped: jnp.ndarray | None = None
 
 
 def render_view(
@@ -63,9 +67,14 @@ def render_view(
     kwargs = {}
     if not cfg.use_reference_rasterizer:
         kwargs["capacity"] = cfg.capacity_factor * means.shape[0]
-    color, depth_acc, alpha = render(
+        kwargs["return_stats"] = True
+    out = render(
         means, covs, gaussians.harmonics, opac, extrinsics, intrinsics,
         image_shape, background, cfg.sh_degree, **kwargs,
+    )
+    color, depth_acc, alpha = out[:3]
+    dropped = (
+        out[3]["dropped"] if len(out) > 3 else jnp.zeros((), jnp.int32)
     )
     if cfg.scale_invariant:
         depth_acc = depth_acc * near  # undo the rescale on view-space z
@@ -76,7 +85,7 @@ def render_view(
         depth = depth_acc / jnp.maximum(alpha, 1e-6)
     else:
         depth = depth_acc
-    return color, depth, alpha
+    return color, depth, alpha, dropped
 
 
 def render_views(
@@ -107,7 +116,7 @@ def render_views(
                 (extrinsics[bi], intrinsics[bi], near[bi], far[bi]),
             )
         )
-    color, depth, alpha = jax.tree_util.tree_map(
+    color, depth, alpha, dropped = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *outs
     )
-    return DecoderOutput(color=color, depth=depth, alpha=alpha)
+    return DecoderOutput(color=color, depth=depth, alpha=alpha, dropped=dropped)

@@ -65,6 +65,10 @@ class TileBinning(NamedTuple):
     tile_start: jnp.ndarray  # (num_tiles,) int32 aligned first slot of tile
     tile_count: jnp.ndarray  # (num_tiles,) int32 real instances in tile
     num_instances: jnp.ndarray  # () int32 total instances (pre-clamp)
+    # () int32 instances silently not rendered: capacity overflow (instances
+    # past the static slot budget) + per-tile MAX_CHUNKS clamp.  SURVEY §7
+    # hard part (2): overflow must be *reported*, not swallowed.
+    dropped: jnp.ndarray
 
 
 def _tile_grid(image_shape: tuple[int, int]) -> tuple[int, int]:
@@ -210,12 +214,15 @@ def bin_gaussians(
         avalid, jax.lax.optimization_barrier(sg_b[src_b]), 0
     )
 
+    cap_dropped = jnp.maximum(total - capacity, 0)
+    clamp_dropped = jnp.sum(jnp.maximum(tile_count - MAX_CHUNKS * CHUNK, 0))
     return TileBinning(
         sorted_ids=aligned_ids,
         slot_valid=avalid,
         tile_start=astart,
         tile_count=tile_count,
         num_instances=total,
+        dropped=(cap_dropped + clamp_dropped).astype(jnp.int32),
     )
 
 
@@ -617,13 +624,17 @@ def rasterize(
     background: jnp.ndarray,
     sh_degree: int,
     capacity: int | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_stats: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """Render one view with the Pallas tile rasterizer.
 
     Same contract as ``rasterizer_ref.render_reference``: returns
     (color (h, w, 3), accumulated depth (h, w), alpha (h, w)).  Depth is
     the unnormalized expected view-space z.  ``capacity`` is the static
-    tile-instance budget (default 8 * n).
+    tile-instance budget (default 8 * n).  With ``return_stats`` a fourth
+    element is appended: {"dropped": () int32, "num_instances": () int32}
+    — instances silently truncated by the capacity / MAX_CHUNKS clamps
+    (callers should log/warn when nonzero and raise ``capacity``).
     """
     h, w = image_shape
     n = means.shape[0]
@@ -653,4 +664,10 @@ def rasterize(
     log_t = img[..., 4]
     t_final = jnp.exp(log_t)
     color = color + t_final[..., None] * background
+    if return_stats:
+        stats = {
+            "dropped": binning.dropped,
+            "num_instances": binning.num_instances,
+        }
+        return color, depth, 1.0 - t_final, stats
     return color, depth, 1.0 - t_final

@@ -98,6 +98,10 @@ def make_train_step(
             "num_gaussians": jnp.mean(
                 results["num_gaussians"].astype(jnp.float32)
             ),
+            # Rasterizer truncation counter (SURVEY §7 hard part 2): total
+            # instances silently dropped by capacity / MAX_CHUNKS clamps
+            # across all rendered views.  Nonzero => raise capacity_factor.
+            "dropped_instances": jnp.sum(output.dropped),
             "batch_stats": new_stats,
         }
         return loss, aux
@@ -120,6 +124,7 @@ def make_train_step(
             "psnr": aux["psnr"],
             "gs_ratio": aux["gs_ratio"],
             "num_gaussians": aux["num_gaussians"],
+            "dropped_instances": aux["dropped_instances"],
             **{f"loss_{k}": v for k, v in aux["loss_parts"].items()},
         }
         return new_state, metrics
@@ -161,6 +166,14 @@ def fit(
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["steps_per_s"] = cfg.log_every / max(time.time() - t0, 1e-9)
             t0 = time.time()
+            if metrics.get("dropped_instances", 0) > 0:
+                print(
+                    f"WARNING step {step}: rasterizer dropped "
+                    f"{int(metrics['dropped_instances'])} instances "
+                    "(capacity/MAX_CHUNKS overflow) — raise "
+                    "decoder.capacity_factor",
+                    flush=True,
+                )
             log_fn(step, metrics)
         if checkpoint_fn is not None and step > 0 and step % checkpoint_every == 0:
             checkpoint_fn(step, state)

@@ -115,6 +115,28 @@ def test_capacity_clamp_no_crash():
     assert np.all(np.isfinite(np.asarray(color)))
 
 
+def test_capacity_overflow_is_reported():
+    """Truncation is *accounted*, not silent (SURVEY §7 hard part 2)."""
+    means, cov, harm, opac, extr, intr = make_scene(n=100, seed=5)
+    bg = jnp.zeros(3)
+    # Ample capacity: no drops.
+    *_, stats = rasterize(
+        means, cov, harm, opac, extr, intr, (H, W), bg, 1,
+        capacity=16 * 100, return_stats=True,
+    )
+    assert int(stats["dropped"]) == 0
+    assert int(stats["num_instances"]) > 0
+    # Starved capacity: the shortfall is reported exactly.
+    *_, stats64 = rasterize(
+        means, cov, harm, opac, extr, intr, (H, W), bg, 1,
+        capacity=64, return_stats=True,
+    )
+    total = int(stats64["num_instances"])
+    expect = max(total - 128, 0)  # capacity rounds up to the 128 chunk
+    assert int(stats64["dropped"]) == expect
+    assert expect > 0
+
+
 def test_nonsquare_image_with_partial_tiles():
     """Image size not divisible by the tile size."""
     means, cov, harm, opac, extr, intr = make_scene(n=60, seed=6)
