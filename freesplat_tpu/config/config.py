@@ -54,6 +54,11 @@ class TrainerCfg:
     max_steps: int = 300_001
     val_check_interval: int = 5000
     log_every: int = 10
+    # Device count for the data-parallel mesh ("auto" = all addressable
+    # devices) — the reference's Lightning ``devices="auto"``
+    # (src/main.py:96-110).  The global batch (batch_size) is sharded
+    # across the mesh; a 1-device mesh is the plain single-chip program.
+    devices: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -61,6 +66,9 @@ class TestCfg:
     output_path: str = "outputs/test"
     eval_depth: bool = True
     render_chunk_size: int = 50  # target views per render call (mw:336-353)
+    save_depth: bool = True  # depth_pred/depth_render colormaps (mw:381-416)
+    save_ply: bool = False  # per-scene gaussians.ply export
+    save_video: bool = False  # wobble + interpolation trajectory videos
 
 
 @dataclass(frozen=True)

@@ -50,6 +50,21 @@ class ValidationWrapper:
         return 1
 
     def __iter__(self) -> Iterator[dict]:
+        if not hasattr(self.dataset, "__getitem__"):
+            # Iterable dataset: draw the next streamed example each pass.
+            it = self.dataset.examples()
+            while True:
+                try:
+                    yield next(it)
+                except StopIteration:
+                    it = self.dataset.examples()
+                    try:
+                        yield next(it)
+                    except StopIteration:
+                        raise RuntimeError(
+                            "validation dataset yields no examples"
+                        ) from None
+            return
         while True:
             idx = int(self.rng.integers(len(self.dataset)))
             yield self.dataset[idx]
@@ -128,6 +143,23 @@ class DataModule:
     def _stream(self, dataset, *, shuffle: bool, loop: bool) -> Iterator[dict]:
         rng = np.random.default_rng(self.cfg.seed)
         bs = self.cfg.batch_size
+        if not hasattr(dataset, "__getitem__"):
+            # Iterable (chunk-streamed) dataset, e.g. RE10K: examples()
+            # already shuffles chunk order internally (reference
+            # dataset_re10k.py:69-127 IterableDataset).
+            while True:
+                buf: list[dict] = []
+                for example in dataset.examples():
+                    if self.step_fn is not None and hasattr(
+                        getattr(dataset, "view_sampler", None), "set_step"
+                    ):
+                        dataset.view_sampler.set_step(self.step_fn())
+                    buf.append(example)
+                    if len(buf) == bs:
+                        yield self._apply_shim(collate(buf))
+                        buf = []
+                if not loop:
+                    return
         while True:
             order = (
                 rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))

@@ -5,7 +5,8 @@ Chunks are ``.torch`` files, each a list of scene dicts:
 Cameras rows are (fx, fy, cx, cy, _, _, w2c_3x4_flat...) with normalized
 intrinsics (``convert_poses``, reference ``:154-175``).  Examples with
 wide FoV (fx > max_fov-ish) or wrong image shape are skipped
-(``:104,119-127``).  Loading uses torch (CPU) only for deserialization.
+(``:104,119-127``).  Chunk deserialization is torch-FREE
+(``torch_unpickle.load_torch_file``); torch is not a dependency.
 """
 from __future__ import annotations
 
@@ -80,13 +81,11 @@ class DatasetRE10k:
         return fov_x <= self.cfg.max_fov
 
     def examples(self) -> Iterator[dict]:
-        import torch  # deserialization only
+        from .torch_unpickle import load_torch_file  # torch-free reader
 
         order = self.rng.permutation(len(self.chunk_paths))
         for ci in order:
-            chunk = torch.load(
-                self.chunk_paths[ci], map_location="cpu", weights_only=False
-            )
+            chunk = load_torch_file(self.chunk_paths[ci])
             for scene in chunk:
                 extrinsics, intrinsics = convert_poses(
                     np.asarray(scene["cameras"], np.float32)

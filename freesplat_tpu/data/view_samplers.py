@@ -138,8 +138,12 @@ class ViewSamplerEvaluation:
         extrapolation = entry.get("extrapolation") or []
         fvs_length = len(extrapolation)
         if fvs_length:
+            # Extrapolation targets are appended AFTER the interpolation
+            # targets (reference view_sampler_evaluation.py:66-69; the
+            # loaders and metrics take targets[length-fvs_length:] as the
+            # extrapolation block, model_wrapper.py:427-443).
             target = np.concatenate(
-                [np.asarray(extrapolation, np.int64), target]
+                [target, np.asarray(extrapolation, np.int64)]
             )
         return context, target, fvs_length
 

@@ -146,9 +146,10 @@ def run_test(
                 )
 
         if test_fvs > 0:
-            # FVS: first test_fvs targets are extrapolation (mw:427-443).
-            metric_block(color[test_fvs:], gt[test_fvs:], "interpolation_")
-            metric_block(color[:test_fvs], gt[:test_fvs], "extrapolation_")
+            # FVS: LAST test_fvs targets are extrapolation (mw:427-443,
+            # targets[length-fvs_length:]).
+            metric_block(color[:-test_fvs], gt[:-test_fvs], "interpolation_")
+            metric_block(color[-test_fvs:], gt[-test_fvs:], "extrapolation_")
         else:
             metric_block(color, gt)
 
@@ -162,7 +163,7 @@ def run_test(
         # Frame dumps (FVS split into interpolation/extrapolation dirs).
         for vi in range(v):
             sub = (
-                "extrapolation" if vi < test_fvs else "interpolation"
+                "extrapolation" if vi >= v - test_fvs else "interpolation"
             ) if test_fvs > 0 else "color"
             _save_image(color[vi], out_dir / scene / sub / f"{vi:04}.png")
             _save_image(gt[vi], out_dir / scene / sub / f"{vi:04}_gt.png")
@@ -170,6 +171,56 @@ def run_test(
             _save_image(
                 np.asarray(context["image"][0, vi]),
                 out_dir / scene / "context" / f"{vi:04}.png",
+            )
+
+        # Depth colormap dumps (reference mw:381-416 writes depth_pred /
+        # depth_render PNGs per scene).
+        if cfg.test.save_depth:
+            from ..utils.visualization import depth_to_color
+
+            pred_depth = np.asarray(results["depth_s-1"][0])  # (ctx_v, h, w)
+            for vi in range(pred_depth.shape[0]):
+                _save_image(
+                    depth_to_color(pred_depth[vi]),
+                    out_dir / scene / "depth_pred" / f"{vi:04}.png",
+                )
+            for vi in range(depth.shape[0]):
+                _save_image(
+                    depth_to_color(depth[vi]),
+                    out_dir / scene / "depth_render" / f"{vi:04}.png",
+                )
+
+        # Gaussian point-cloud export (reference encoder visualizer /
+        # export pathway; covariances already decomposed by the adapter).
+        if cfg.test.save_ply:
+            g = results["gaussians"]
+            viz = results["visualizations"]
+            export_ply(
+                np.asarray(g.means[0]),
+                np.asarray(viz["scales"][0]),
+                np.asarray(viz["rotations"][0]),
+                np.asarray(g.harmonics[0]),
+                np.asarray(g.opacities[0]),
+                out_dir / scene / "gaussians.ply",
+                mask=np.asarray(g.mask[0]),
+            )
+
+        # Trajectory videos (reference mw:654-819).
+        if cfg.test.save_video:
+            from .video import render_video_interpolation, render_video_wobble
+
+            vid_args = (
+                cfg.decoder,
+                results["gaussians"],
+                context["extrinsics"][0],
+                context["intrinsics"][0],
+                float(np.asarray(context["near"])[0, 0]),
+                float(np.asarray(context["far"])[0, 0]),
+                (h, w),
+            )
+            render_video_wobble(*vid_args, out_dir / scene / "wobble.mp4")
+            render_video_interpolation(
+                *vid_args, out_dir / scene / "interpolation.mp4"
             )
         per_scene.append(entry)
         print(f"[test] {scene}: " + " ".join(

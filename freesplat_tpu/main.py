@@ -55,9 +55,26 @@ def make_view_sampler(cfg: RootCfg, stage: str):
 
 
 def make_data_module(cfg: RootCfg, step_fn=None) -> DataModule:
-    """Stage-aware loaders (reference ``data_module.py``)."""
+    """Stage-aware loaders routed by ``dataset.name`` (reference
+    ``data_module.py`` + the DATASETS registry in ``dataset/__init__.py``)."""
 
     def factory(stage: str):
+        if cfg.dataset.name == "re10k":
+            from .data.re10k import DatasetRE10k, DatasetRE10kCfg
+
+            return DatasetRE10k(
+                DatasetRE10kCfg(
+                    roots=tuple(cfg.dataset.roots),
+                    image_shape=cfg.dataset.image_shape,
+                    near=cfg.dataset.near,
+                    far=cfg.dataset.far,
+                ),
+                stage,
+                make_view_sampler(cfg, stage),
+                seed=cfg.data_loader.seed,
+            )
+        # scannet + replica share the directory-per-scene loader (replica
+        # adds sibling-dir FVS extrapolation poses).
         return DatasetScannet(
             DatasetScannetCfg(
                 roots=tuple(cfg.dataset.roots),
@@ -98,6 +115,30 @@ def make_batches(cfg: RootCfg, stage: str, step_fn=None):
 
 
 def train(cfg: RootCfg) -> None:
+    from .parallel.distributed import make_mesh, maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        print(
+            f"jax.distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}", flush=True,
+        )
+    mesh = make_mesh(cfg.trainer.devices)
+    n_dev = mesh.devices.size
+    if cfg.data_loader.batch_size % n_dev:
+        # Shrink to the largest device count the global batch divides by
+        # (devices="auto" on a big mesh with batch_size=1 should train on
+        # one device, not crash).
+        fit_dev = max(
+            d for d in range(1, n_dev + 1)
+            if cfg.data_loader.batch_size % d == 0
+        )
+        print(
+            f"note: batch_size={cfg.data_loader.batch_size} not divisible "
+            f"by {n_dev} devices; using a {fit_dev}-device mesh",
+            flush=True,
+        )
+        mesh = make_mesh(fit_dev)
+        n_dev = fit_dev
     train_cfg = TrainCfg(
         encoder=cfg.encoder,
         decoder=cfg.decoder,
@@ -108,7 +149,11 @@ def train(cfg: RootCfg) -> None:
     current_step = {"value": 0}
     batches = make_batches(cfg, "train", step_fn=lambda: current_step["value"])
     first = next(batches)
-    state = init_state(train_cfg, jax.random.PRNGKey(cfg.seed), first)
+    init_example = jax.tree_util.tree_map(
+        lambda x: x[:1] if hasattr(x, "ndim") and x.ndim > 0 else x,
+        {k: v for k, v in first.items() if k in ("context", "target")},
+    )
+    state = init_state(train_cfg, jax.random.PRNGKey(cfg.seed), init_example)
 
     ckpt_dir = cfg.checkpointing.output_dir
     if cfg.checkpointing.load is not None:
@@ -147,7 +192,8 @@ def train(cfg: RootCfg) -> None:
         if state.get("batch_stats"):
             variables["batch_stats"] = state["batch_stats"]
         metrics = validation_step(
-            cfg.encoder, cfg.decoder, variables, batch, step
+            cfg.encoder, cfg.decoder, variables, batch, step,
+            save_video=True,
         )
         print(f"val step {step}: psnr={metrics['psnr']:.2f}", flush=True)
 
@@ -168,6 +214,7 @@ def train(cfg: RootCfg) -> None:
         checkpoint_every=cfg.checkpointing.every_n_train_steps,
         val_fn=val_fn,
         val_every=cfg.trainer.val_check_interval,
+        mesh=mesh,
     )
 
 

@@ -97,26 +97,44 @@ def render_views(
     far: jnp.ndarray,  # (b, v)
     image_shape: tuple[int, int],
 ) -> DecoderOutput:
-    """Render every (batch, view) pair.  Views go through ``lax.map`` (a
-    single kernel trace regardless of view count — the reference loops in
-    python per view, ``cuda_splatting.py:92``); batch is a python loop
-    (usually 1)."""
-    b = extrinsics.shape[0]
-    outs = []
-    for bi in range(b):
-        g = jax.tree_util.tree_map(lambda x: x[bi], gaussians)
+    """Render every (batch, view) pair through ONE ``lax.map`` over the
+    flattened (b*v) list — a single kernel trace regardless of batch or
+    view count (the reference loops in python per view,
+    ``cuda_splatting.py:92``; round 1 additionally unrolled the batch).
+    At b == 1 the per-scene Gaussian fetch inside the map body indexes a
+    static 0 and is free; at b > 1 it is one dynamic-slice per view."""
+    b, v = extrinsics.shape[:2]
+
+    if b == 1:
+        g = jax.tree_util.tree_map(lambda x: x[0], gaussians)
 
         def one_view(args):
             e, k, n, f = args
             return render_view(cfg, g, e, k, n, f, image_shape)
 
-        outs.append(
-            jax.lax.map(
-                one_view,
-                (extrinsics[bi], intrinsics[bi], near[bi], far[bi]),
-            )
+        out = jax.lax.map(
+            one_view,
+            (extrinsics[0], intrinsics[0], near[0], far[0]),
+        )
+    else:
+        scene_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), v)
+
+        def one_view(args):
+            e, k, n, f, bi = args
+            g = jax.tree_util.tree_map(lambda x: x[bi], gaussians)
+            return render_view(cfg, g, e, k, n, f, image_shape)
+
+        out = jax.lax.map(
+            one_view,
+            (
+                extrinsics.reshape(b * v, 4, 4),
+                intrinsics.reshape(b * v, 3, 3),
+                near.reshape(b * v),
+                far.reshape(b * v),
+                scene_ids,
+            ),
         )
     color, depth, alpha, dropped = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *outs
+        lambda x: x.reshape(b, v, *x.shape[1:]), out
     )
     return DecoderOutput(color=color, depth=depth, alpha=alpha, dropped=dropped)

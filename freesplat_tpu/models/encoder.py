@@ -97,6 +97,59 @@ def select_source_views(extrinsics: jnp.ndarray, num_src: int) -> jnp.ndarray:
     return idx
 
 
+class _FuseScene(nn.Module):
+    """Per-scene PTF fusion + Gaussian head (vmapped over batch).
+
+    Split out so the batch dimension goes through ``nn.vmap`` (one traced
+    program regardless of batch size) instead of a python loop that makes
+    XLA compile ``b`` copies of the PTF graph.
+    """
+
+    cfg: EncoderFreeSplatCfg
+    image_shape: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, feat, coords, dens, wt, depth, extr, intr):
+        cfg = self.cfg
+        gru = GRU(hidden_channel=cfg.d_feature, name="gru")
+        if self.is_initializing():
+            # Materialize GRU params outside lax.scan: fuse_views runs the
+            # GRU inside a scan body for >4 views, where flax cannot
+            # *create* variables (reuse is fine).
+            zf = jnp.zeros((1, cfg.d_feature), feat.dtype)
+            ze = positional_encoding(jnp.zeros((1, 2), feat.dtype), 6)
+            gru(zf, zf, ze, ze)
+
+        def gru_apply(inp, hid, in_emb, hid_emb):
+            return gru(inp, hid, in_emb, hid_emb)
+
+        state = fuse_views(
+            feat, coords, dens, wt, depth, extr, intr, self.image_shape,
+            gru_apply,
+        )
+        to_gaussians = nn.Dense(
+            cfg.num_surfaces * (2 + cfg.adapter.d_in), name="to_gaussians"
+        )
+        raw = to_gaussians(nn.relu(state.feat))
+        opacities = jax.nn.sigmoid(raw[..., 0])
+        params = build_gaussians(
+            cfg.adapter,
+            raw[..., 2:],
+            state.depth,
+            state.extrinsics[:, :3, :3],
+            intr[0],
+            self.image_shape,
+        )
+        gaussians = Gaussians(
+            means=state.coords,
+            covariances=params["covariances"],
+            harmonics=params["harmonics"],
+            opacities=jnp.where(state.valid, opacities, 0.0),
+            mask=state.valid,
+        )
+        return gaussians, params["scales"], params["rotations"]
+
+
 class EncoderFreeSplat(nn.Module):
     cfg: EncoderFreeSplatCfg = EncoderFreeSplatCfg()
 
@@ -139,16 +192,11 @@ class EncoderFreeSplat(nn.Module):
         mh, mw = match_feats.shape[1:3]
 
         num_src = min(cfg.num_views, v) - 1
-        cv_module = CostVolume(
-            num_depth_bins=cfg.num_depth_candidates, dtype=dtype,
-            name="cost_volume"
-        )
-        cost_volumes = []
-        # Per batch element: select source views + sweep.
         match_bv = match_feats.reshape(b, v, mh, mw, -1)
-        for bi in range(b):
-            extr = context["extrinsics"][bi]
-            intr = context["intrinsics"][bi]
+
+        # Source-view geometry for every scene at once (batched jnp; the
+        # round-1 python loop over b compiled b copies of the sweep graph).
+        def scene_geometry(extr, intr):
             if v > cfg.num_views:
                 src_idx = select_source_views(extr, num_src)  # (v, num_src)
             else:
@@ -162,18 +210,34 @@ class EncoderFreeSplat(nn.Module):
             w2c = jnp.linalg.inv(extr)
             # src_T_cur[j, s] : cur-cam j -> src-cam src_idx[j, s]
             src_T_cur = jnp.einsum("vsij,vjk->vsik", w2c[src_idx], extr)
-            cur_invK = jnp.linalg.inv(k44)
-            cv = cv_module(
-                match_bv[bi],
-                match_bv[bi][src_idx],
-                src_T_cur,
-                k44[src_idx],
-                cur_invK,
-                context["near"][bi, 0],
-                context["far"][bi, 0],
-            )
-            cost_volumes.append(cv)
-        cost_volume = jnp.concatenate(cost_volumes, axis=0)  # (b*v, mh, mw, D)
+            return src_idx, src_T_cur, k44[src_idx], jnp.linalg.inv(k44)
+
+        src_idx, src_T_cur, src_K, cur_invK = jax.vmap(scene_geometry)(
+            context["extrinsics"], context["intrinsics"]
+        )
+        match_src = jnp.take_along_axis(
+            match_bv[:, :, None],
+            src_idx[..., None, None, None].astype(jnp.int32),
+            axis=1,
+        )  # (b, v, num_src, mh, mw, c)
+
+        cv_vmapped = nn.vmap(
+            CostVolume,
+            in_axes=(0, 0, 0, 0, 0, 0, 0),
+            out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )(num_depth_bins=cfg.num_depth_candidates, dtype=dtype,
+          name="cost_volume")
+        cost_volume = cv_vmapped(
+            match_bv,
+            match_src,
+            src_T_cur,
+            src_K,
+            cur_invK,
+            context["near"][:, 0],
+            context["far"][:, 0],
+        ).reshape(b * v, mh, mw, -1)  # (b*v, mh, mw, D)
 
         cv_feats = CVEncoder(dtype=dtype, name="cv_encoder")(
             cost_volume, feats[1:]
@@ -205,67 +269,27 @@ class EncoderFreeSplat(nn.Module):
             (h, w),
         )  # (b, v, h, w, 3)
 
-        # PTF fusion per batch element (GRU params shared via module bind).
-        gru = GRU(hidden_channel=cfg.d_feature, name="gru")
-
-        def gru_apply(inp, hid, in_emb, hid_emb):
-            return gru(inp, hid, in_emb, hid_emb)
-
-        if self.is_initializing():
-            # Materialize GRU params outside lax.scan: fuse_views runs the
-            # GRU inside a scan body for >4 views, where flax cannot
-            # *create* variables (reuse is fine).
-            zf = jnp.zeros((1, cfg.d_feature), gauss_feats.dtype)
-            ze = positional_encoding(jnp.zeros((1, 2), gauss_feats.dtype), 6)
-            gru(zf, zf, ze, ze)
-
         feat_v = gauss_feats.reshape(b, v, hw, cfg.d_feature)
         dens_v = densities.reshape(b, v, hw, 1)
         wt_v = weights.reshape(b, v, hw, 1)
         depth_v = depths.reshape(b, v, hw)
         coords_v = means.reshape(b, v, hw, 3)
 
-        to_gaussians = nn.Dense(
-            cfg.num_surfaces * (2 + adapter_cfg.d_in), name="to_gaussians"
-        )
-        gaussians_out = []
-        params_out = []
-        for bi in range(b):
-            state = fuse_views(
-                feat_v[bi], coords_v[bi], dens_v[bi], wt_v[bi], depth_v[bi],
-                context["extrinsics"][bi], context["intrinsics"][bi], (h, w),
-                gru_apply,
-            )
-            raw = to_gaussians(nn.relu(state.feat))
-            opacities = jax.nn.sigmoid(raw[..., 0])
-            params = build_gaussians(
-                adapter_cfg,
-                raw[..., 2:],
-                state.depth,
-                state.extrinsics[:, :3, :3],
-                context["intrinsics"][bi, 0],
-                (h, w),
-            )
-            params_out.append(params)
-            gaussians_out.append(
-                Gaussians(
-                    means=state.coords,
-                    covariances=params["covariances"],
-                    harmonics=params["harmonics"],
-                    opacities=jnp.where(state.valid, opacities, 0.0),
-                    mask=state.valid,
-                )
-            )
-
-        gaussians = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *gaussians_out
+        # PTF fusion + Gaussian head, vmapped over batch (shared params).
+        fuse = nn.vmap(
+            _FuseScene,
+            in_axes=(0, 0, 0, 0, 0, 0, 0),
+            out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )(cfg=cfg, image_shape=(h, w), name="fuse")
+        gaussians, scales_v, rotations_v = fuse(
+            feat_v, coords_v, dens_v, wt_v, depth_v,
+            context["extrinsics"], context["intrinsics"],
         )
         num_valid = jnp.sum(gaussians.mask, axis=-1)
         # Visualization dump (reference encoder_freesplat.py:393-405).
-        visualizations = {
-            "scales": jnp.stack([p["scales"] for p in params_out]),
-            "rotations": jnp.stack([p["rotations"] for p in params_out]),
-        }
+        visualizations = {"scales": scales_v, "rotations": rotations_v}
 
         results: dict[str, Any] = {
             "gaussians": gaussians,

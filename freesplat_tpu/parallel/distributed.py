@@ -1,0 +1,112 @@
+"""Multi-chip / multi-host training setup (SPMD data parallelism).
+
+The TPU-native replacement for the reference's Lightning DDP strategy
+(``/root/reference/src/main.py:96-110``, ``devices="auto"``): one
+``jax.sharding.Mesh`` over every addressable device, the global batch
+sharded along its leading axis, parameters/optimizer state replicated,
+and XLA's partitioner inserting the gradient ``psum`` over ICI.
+
+Multi-host: ``maybe_initialize_distributed`` wires ``jax.distributed``
+from standard cluster env vars (JAX auto-detects GKE/GCE metadata; the
+COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID variables force it
+elsewhere).  Single-process runs skip initialization entirely.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+
+
+# Only coordinator-style variables imply a multi-process launch; things
+# like TPU_WORKER_HOSTNAMES also appear on single-host TPU VMs and must
+# not trigger initialization.
+_DIST_ENV_VARS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "NUM_PROCESSES",
+    "JAX_NUM_PROCESSES",
+)
+
+_initialized = False
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize ``jax.distributed`` when running under a multi-host
+    launcher; no-op (returns False) for single-process runs.
+
+    Controlled by env: set FREESPLAT_DISTRIBUTED=1 to force, =0 to forbid;
+    otherwise auto-detect from the usual coordinator variables.
+    """
+    global _initialized
+    if _initialized:
+        return True
+    force = os.environ.get("FREESPLAT_DISTRIBUTED")
+    if force == "0":
+        return False
+    detected = any(os.environ.get(k) for k in _DIST_ENV_VARS)
+    if force != "1" and not detected:
+        return False
+    import jax
+
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        # Backend already initialized (e.g. something touched jax.devices
+        # first, or a second call) — warn and continue single-process
+        # rather than killing the run.
+        print(f"warning: jax.distributed.initialize skipped: {e}", flush=True)
+        return False
+    _initialized = True
+    return True
+
+
+def make_mesh(num_devices: int | str = "auto"):
+    """1-D ``("data",)`` mesh over the first ``num_devices`` devices.
+
+    ``"auto"`` uses every addressable device.  A mesh of size 1 compiles
+    to exactly the single-chip program (no collectives), so the mesh path
+    is the only code path — there is no separate single-device trainer.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if num_devices != "auto":
+        devices = devices[: int(num_devices)]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh) -> Any:
+    """NamedSharding pytree-prefix: shard the leading (batch) dim."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh) -> Any:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch: Any) -> Any:
+    """Device_put a host batch with its leading axis split over the mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_state(mesh, state: Any) -> Any:
+    import jax
+
+    rep = replicated_sharding(mesh)
+    return jax.device_put(state, jax.tree_util.tree_map(lambda _: rep, state))

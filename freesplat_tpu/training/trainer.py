@@ -60,8 +60,13 @@ def init_state(cfg: TrainCfg, rng: jax.Array, example_batch: dict) -> dict:
 
 
 def make_train_step(
-    cfg: TrainCfg, lpips_params: Any = None
+    cfg: TrainCfg, lpips_params: Any = None, mesh: Any = None
 ) -> Callable[[dict, dict], tuple[dict, dict]]:
+    """Jitted train step.  With ``mesh`` (a 1-D ``("data",)`` mesh) the
+    step is partitioned SPMD: batch sharded on its leading axis, state
+    replicated, gradient psum inserted by XLA — the product path behind
+    ``__graft_entry__.dryrun_multichip`` and multi-chip ``fit``.  A mesh
+    of size 1 compiles to the identical single-chip program."""
     encoder = EncoderFreeSplat(cfg.encoder)
     tx = make_optimizer(cfg.optimizer)
 
@@ -106,7 +111,18 @@ def make_train_step(
         }
         return loss, aux
 
-    @jax.jit
+    jit_kwargs: dict = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        jit_kwargs = dict(
+            in_shardings=(rep, data),
+            out_shardings=(rep, rep),
+        )
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def train_step(state: dict, batch: dict):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], state["batch_stats"], batch, state["step"]
@@ -143,9 +159,18 @@ def fit(
     checkpoint_every: int = 10_000,
     val_fn: Callable[[int, dict], None] | None = None,
     val_every: int = 5_000,
+    mesh: Any = None,
 ) -> dict:
-    """Host training loop (the Lightning-fit equivalent)."""
-    train_step = make_train_step(cfg, lpips_params)
+    """Host training loop (the Lightning-fit equivalent).
+
+    With ``mesh``, every batch is sharded over the mesh's data axis and
+    the state replicated before stepping (SPMD data parallelism; the
+    global batch's leading dim must divide by the mesh size)."""
+    train_step = make_train_step(cfg, lpips_params, mesh=mesh)
+    if mesh is not None:
+        from ..parallel.distributed import replicate_state, shard_batch
+
+        state = replicate_state(mesh, state)
     t0 = time.time()
     for batch in batches:
         step = int(state["step"])
@@ -161,6 +186,8 @@ def fit(
             for k, v in batch.items()
             if k in ("context", "target")
         }
+        if mesh is not None:
+            array_batch = shard_batch(mesh, array_batch)
         state, metrics = train_step(state, array_batch)
         if log_fn is not None and step % cfg.log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}

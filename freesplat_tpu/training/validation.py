@@ -26,6 +26,7 @@ def validation_step(
     batch: dict,
     step: int,
     output_dir: str | Path = "outputs/local",
+    save_video: bool = False,
 ) -> dict[str, float]:
     import dataclasses
 
@@ -70,4 +71,28 @@ def validation_step(
     with (out_dir / "val_metrics.txt").open("a") as f:
         scene = batch.get("scene", ["?"])[0]
         f.write(f"step {step} scene {scene} psnr {psnr:.4f}\n")
+
+    if save_video:
+        # Trajectory videos, as the reference logs during validation
+        # (model_wrapper.py:654-819: wobble + context interpolation).
+        from ..evaluation.video import (
+            render_video_interpolation,
+            render_video_wobble,
+        )
+
+        vid_args = (
+            decoder_cfg,
+            results["gaussians"],
+            context["extrinsics"][0],
+            context["intrinsics"][0],
+            float(np.asarray(context["near"])[0, 0]),
+            float(np.asarray(context["far"])[0, 0]),
+            (h, w),
+        )
+        render_video_wobble(
+            *vid_args, out_dir / f"val_{step:0>7}_wobble.mp4"
+        )
+        render_video_interpolation(
+            *vid_args, out_dir / f"val_{step:0>7}_interpolation.mp4"
+        )
     return {"psnr": psnr}

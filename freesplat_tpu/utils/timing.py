@@ -17,17 +17,34 @@ import time
 from typing import Any, Callable, Sequence
 
 
+_REDUCERS: dict = {}
+
+
 def _to_scalar(out: Any) -> Any:
-    """Reduce an arbitrary output pytree to one scalar device value."""
+    """Reduce an arbitrary output pytree to one scalar device value.
+
+    One jitted program per tree structure — reducing leaf-by-leaf in
+    python dispatches hundreds of tiny ops per call for grad trees and
+    dominates the measurement (the bug behind several bogus round-2
+    numbers before this was centralized).
+    """
     import jax
     import jax.numpy as jnp
 
-    leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
-    acc = None
-    for leaf in leaves:
-        val = jnp.sum(jnp.asarray(leaf, jnp.float32).ravel()[:1])
-        acc = val if acc is None else acc + val
-    return acc
+    leaves, treedef = jax.tree_util.tree_flatten(out)
+    arrays = [x for x in leaves if hasattr(x, "dtype")]
+    key = (treedef, tuple((a.shape, str(a.dtype)) for a in arrays))
+    fn = _REDUCERS.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(xs):
+            acc = jnp.float32(0.0)
+            for x in xs:
+                acc = acc + jnp.asarray(x).ravel()[:1].sum().astype(jnp.float32)
+            return acc
+
+        _REDUCERS[key] = fn
+    return fn(arrays)
 
 
 def bench(

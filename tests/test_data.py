@@ -153,7 +153,8 @@ def test_evaluation_sampler(tmp_path):
     assert list(ctx) == [0, 10] and list(tgt) == [3, 5] and fvs == 0
     ctx, tgt, fvs = s.sample("scene_b", None, None)
     assert fvs == 2
-    assert list(tgt) == [20, 25, 3]  # extrapolation first
+    # Extrapolation appended last (reference view_sampler_evaluation.py:66).
+    assert list(tgt) == [3, 20, 25]
     assert "scene_null" not in s.index
 
 

@@ -1,4 +1,5 @@
 """Tests for auxiliary depth losses + validation step."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,6 +73,7 @@ def test_mv_depth_loss_consistent_views():
     assert float(loss_bad) > 0.01
 
 
+@pytest.mark.slow
 def test_validation_step(tmp_path):
     import jax
 

@@ -6,6 +6,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_train_cli_synthetic(tmp_path, capsys):
     from freesplat_tpu.main import main

@@ -9,6 +9,8 @@ from freesplat_tpu.ops.rasterizer_ref import render_reference
 from freesplat_tpu.parallel.sharded_render import rasterize_sharded
 from tests.test_rasterizer_pallas import make_scene
 
+pytestmark = pytest.mark.slow
+
 H, W = 64, 256  # 2 x 8 tiles -> 1 tile column per device on 8 devices
 
 
