@@ -208,6 +208,7 @@ def train(cfg: RootCfg) -> None:
         train_cfg,
         state,
         batch_stream(),
+        lpips_params=_load_lpips(cfg),
         max_steps=cfg.trainer.max_steps,
         log_fn=log_fn,
         checkpoint_fn=checkpoint_fn,
@@ -218,10 +219,28 @@ def train(cfg: RootCfg) -> None:
     )
 
 
+def _load_lpips(cfg: RootCfg):
+    """Converted LPIPS-VGG weights, or None (reference downloads them via
+    the ``lpips`` package, loss_lpips.py:33; this image ships none, so the
+    loss/metric falls back to MSE-only with a warning)."""
+    lp = cfg.loss.lpips
+    if lp is None or lp.weight == 0:
+        return None
+    if lp.weights_path is None:
+        print(
+            "note: loss.lpips.weights_path not set — LPIPS term disabled "
+            "(no pretrained VGG weights bundled)", flush=True,
+        )
+        return None
+    from .training.lpips import load_lpips_params
+
+    return load_lpips_params(lp.weights_path)
+
+
 def test(cfg: RootCfg) -> None:
     from .evaluation.harness import run_test
 
-    run_test(cfg)
+    run_test(cfg, lpips_params=_load_lpips(cfg))
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -63,13 +63,21 @@ def bench_mesh(
         return jnp.mean((color - target) ** 2)
 
     step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
-    jax.block_until_ready(step(means, cov, harm, opac))
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = step(means, cov, harm, opac)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
+
+    # Honest fencing: chain each dispatch on the previous loss scalar and
+    # fetch one value at the end (block_until_ready does not reliably
+    # block on the axon tunnel — see utils/timing.py).
+    def chained(n: int) -> float:
+        carry = jnp.float32(0.0)
+        t0 = time.time()
+        for _ in range(n):
+            val, _ = step(means + carry * 0, cov, harm, opac)
+            carry = val
+        float(carry)
+        return (time.time() - t0) / n
+
+    chained(1)  # compile + warmup
+    dt = chained(reps)
     return {
         "devices": n_devices,
         "rays_per_s": h * w / dt,
@@ -77,23 +85,40 @@ def bench_mesh(
     }
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
     from ..utils.cache import enable_compilation_cache
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--devices", type=int, nargs="*", default=None,
+        help="device counts to bench (default: 1 and all available)",
+    )
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--gaussians", type=int, default=196608)
+    p.add_argument("--reps", type=int, default=8)
+    args = p.parse_args(argv)
 
     enable_compilation_cache()
     import jax
 
     n_avail = len(jax.devices())
+    counts = args.devices or [1, n_avail]
     results = []
-    for nd in (1, n_avail):
+    for nd in counts:
         if nd > n_avail or (results and nd == results[-1]["devices"]):
             continue
-        r = bench_mesh(nd)
+        r = bench_mesh(
+            nd, (args.height, args.width), args.gaussians, args.reps
+        )
         results.append(r)
-        print(json.dumps(r))
-    if len(results) == 2:
-        eff = results[1]["rays_per_s"] / (
-            results[0]["rays_per_s"] * results[1]["devices"]
+        print(json.dumps(r), flush=True)
+    if len(results) >= 2:
+        eff = results[-1]["rays_per_s"] / (
+            results[0]["rays_per_s"]
+            * results[-1]["devices"] / results[0]["devices"]
         )
         print(json.dumps({"scaling_efficiency": round(eff, 4)}))
 

@@ -47,10 +47,14 @@ def rasterize_sharded(
     axis: str = "shard",
     capacity: int | None = None,
     per_device_capacity: int | None = None,
+    return_stats: bool = False,
 ):
     """Render one view with Gaussians + tiles sharded over ``mesh[axis]``.
 
     Returns (color (h, w, 3), depth (h, w), alpha (h, w)) fully gathered.
+    With ``return_stats`` a fourth element is appended:
+    {"dropped": () int32} — the mesh-wide sum of instances truncated by
+    any device's slab capacity (matching single-device ``rasterize``).
     Requires the tile-column count of the (padded) image to be divisible
     by the axis size.
     """
@@ -64,12 +68,16 @@ def rasterize_sharded(
     local_cols = tw // n_dev
     if capacity is None:
         capacity = 8 * n
-    # Per-device instance budget for its column slab.  Instances are not
-    # uniformly distributed across slabs, so default conservatively to the
-    # full budget per device; pass per_device_capacity to trade memory/sort
-    # size for a tight bound.
-    local_capacity = per_device_capacity or capacity
-    local_capacity = -(-max(local_capacity, CHUNK) // CHUNK) * CHUNK
+    # Per-device instance budget for its slab of tile columns.  Instances
+    # are not uniform across slabs, so budget 2x the uniform share (4x at
+    # >=8 devices, where one slab is a small screen region and hotspots
+    # concentrate); an undersized slab is REPORTED via the summed dropped
+    # count, not silent.  Memory/sort size per device now shrinks with the
+    # mesh; pass per_device_capacity to override.
+    if per_device_capacity is None:
+        margin = 4 if n_dev >= 8 else 2
+        per_device_capacity = min(capacity, margin * capacity // n_dev)
+    local_capacity = -(-max(per_device_capacity, CHUNK) // CHUNK) * CHUNK
 
     def render_shard(m, c, hm, o):
         # m etc. are the LOCAL shards (n/n_dev, ...).
@@ -105,19 +113,23 @@ def rasterize_sharded(
         )
         # Gather slabs along width on every device.
         full = jax.lax.all_gather(img, axis, axis=1)  # (H, n_dev, Wl, 8)
-        return full.reshape(th * TILE, tw * TILE, 8)
+        dropped = jax.lax.psum(binning.dropped, axis)
+        return full.reshape(th * TILE, tw * TILE, 8), dropped
 
     shard_spec = P(axis)
     fn = jax.shard_map(
         render_shard,
         mesh=mesh,
         in_specs=(shard_spec, shard_spec, shard_spec, shard_spec),
-        out_specs=P(),
+        out_specs=(P(), P()),
         check_vma=False,
     )
-    img = fn(means, covariances, harmonics, opacities)[:h, :w]
+    img, dropped = fn(means, covariances, harmonics, opacities)
+    img = img[:h, :w]
     color = img[..., 0:3]
     depth = img[..., 3]
     t_final = jnp.exp(img[..., 4])
     color = color + t_final[..., None] * background
+    if return_stats:
+        return color, depth, 1.0 - t_final, {"dropped": dropped}
     return color, depth, 1.0 - t_final

@@ -15,6 +15,7 @@ are supplied.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -62,3 +63,42 @@ class LPIPS(nn.Module):
             )(diff)
             total = total + jnp.mean(lin[..., 0], axis=(-1, -2))
         return total
+
+
+def save_lpips_params(params: dict, path: str) -> None:
+    """Serialize an LPIPS variables tree to .npz (keypaths joined by /)."""
+    flat = {}
+
+    def walk(tree, prefix):
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, key)
+            else:
+                flat[key] = np.asarray(v)
+
+    walk(params, "")
+    np.savez(path, **flat)
+
+
+def load_lpips_params(path: str) -> dict:
+    """Load LPIPS variables from ``path``: a .npz written by
+    ``save_lpips_params``, or a torch state dict from the ``lpips``
+    package / torchvision (converted via utils/torch_convert)."""
+    if str(path).endswith(".npz"):
+        data = np.load(path)
+        tree: dict = {}
+        for key in data.files:
+            node = tree
+            *parents, leaf = key.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = jnp.asarray(data[key])
+        return tree
+    import torch  # CPU-only deserialization
+
+    from ..utils.torch_convert import convert_lpips_vgg
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    return convert_lpips_vgg(sd)

@@ -97,8 +97,9 @@ def test_effnet_conversion_loads_and_runs():
     assert all(np.isfinite(np.asarray(f)).all() for f in feats)
 
 
-def test_lpips_conversion_loads_and_runs():
-    rng = np.random.default_rng(1)
+def fake_lpips_state_dict(seed: int = 1) -> dict:
+    """Random state dict in the lpips-package layout (net.slice* + lins.*)."""
+    rng = np.random.default_rng(seed)
     sd = {}
     chans = [(3, 64, 64), (64, 128, 128), (128, 256, 256, 256),
              (256, 512, 512, 512), (512, 512, 512, 512)]
@@ -115,7 +116,12 @@ def test_lpips_conversion_loads_and_runs():
         sd[f"lins.{li}.model.1.weight"] = rng.uniform(
             0, 1, size=(1, c, 1, 1)
         ).astype(np.float32)
+    return sd
 
+
+def test_lpips_conversion_loads_and_runs():
+    rng = np.random.default_rng(1)
+    sd = fake_lpips_state_dict()
     variables = convert_lpips_vgg(sd)
     module = LPIPS()
     img = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)

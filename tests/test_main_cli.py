@@ -70,6 +70,94 @@ def test_test_harness_synthetic(tmp_path):
     assert (out_dir / scene / "context" / "0000.png").exists()
 
 
+def test_test_harness_fvs_split(tmp_path):
+    """Replica-style FVS run through the harness: a suffixed test-scene key
+    (room0_1 -> dir room0, reference dataset_replica.py:70-90) with frozen
+    eval-index extrapolation targets must produce interpolation_/
+    extrapolation_ metric blocks and split frame dumps
+    (model_wrapper.py:427-443)."""
+    import numpy as np
+    from PIL import Image
+
+    from freesplat_tpu.config.config import load_config
+    from freesplat_tpu.data.scannet import (
+        DatasetScannet,
+        DatasetScannetCfg,
+        data_loader,
+    )
+    from freesplat_tpu.data.view_samplers import (
+        ViewSamplerEvaluation,
+        ViewSamplerEvaluationCfg,
+    )
+    from freesplat_tpu.evaluation.harness import run_test
+
+    rng = np.random.default_rng(0)
+    scene = tmp_path / "test" / "room0"
+    (scene / "color").mkdir(parents=True)
+    (scene / "depth").mkdir()
+    (scene / "intrinsic").mkdir()
+    n = 30
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), dtype=np.uint8), "RGB"
+        ).save(scene / "color" / f"{i}.jpg")
+        Image.fromarray(
+            rng.integers(500, 5000, (48, 64), dtype=np.int32), "I"
+        ).save(scene / "depth" / f"{i}.png")
+    k = np.array([[80.0, 0, 32, 0], [0, 80, 24, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+    np.savetxt(scene / "intrinsic" / "intrinsic_color.txt", k)
+    extr = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    extr[:, 0, 3] = np.linspace(0, 1.5, n)
+    np.save(scene / "extrinsics.npy", extr)
+    (tmp_path / "test_idx.txt").write_text("room0_1\n")
+
+    index = {
+        "room0_1": {
+            "context": [0, 8],
+            "target": [3, 5],
+            "extrapolation": [20, 25],
+        }
+    }
+    index_path = tmp_path / "evaluation_index_replica_2views.json"
+    index_path.write_text(json.dumps(index))
+
+    ds = DatasetScannet(
+        DatasetScannetCfg(
+            roots=(str(tmp_path),), image_shape=(32, 64), load_size=(48, 64)
+        ),
+        "test",
+        ViewSamplerEvaluation(ViewSamplerEvaluationCfg(str(index_path))),
+    )
+    batches = data_loader(ds, batch_size=1, shuffle=False)
+
+    cfg = load_config(
+        [
+            "dataset.name=replica",
+            "dataset.image_shape=[32,64]",
+            "encoder.num_depth_candidates=8",
+            "encoder.adapter.sh_degree=1",
+            "encoder.train_bn=false",
+            "decoder.sh_degree=1",
+            f"test.output_path={tmp_path}/test_out",
+        ]
+    )
+    summary = run_test(cfg, batches=batches, max_scenes=1)
+    assert np.isfinite(summary["interpolation_psnr"])
+    assert np.isfinite(summary["extrapolation_psnr"])
+    assert "psnr" not in summary  # FVS scenes report only the split blocks
+
+    out_dir = Path(tmp_path) / "test_out"
+    stats = json.loads((out_dir / "stats.json").read_text())
+    entry = stats["per_scene"][0]
+    assert entry["scene"] == "room0_1"
+    assert entry["num_views"] == 4  # 2 interpolation + 2 extrapolation
+    # Extrapolation frames are the LAST fvs_length targets.
+    assert (out_dir / "room0_1" / "interpolation" / "0000.png").exists()
+    assert (out_dir / "room0_1" / "interpolation" / "0001.png").exists()
+    assert (out_dir / "room0_1" / "extrapolation" / "0002.png").exists()
+    assert (out_dir / "room0_1" / "extrapolation" / "0003.png").exists()
+
+
 def test_videoize_index(tmp_path):
     import json
 

@@ -416,6 +416,51 @@ def test_encoder_fvt_8views_merges():
     assert 0.1 < ratio < 0.95  # meaningful cross-view merging happened
 
 
+def test_encoder_fvt_whole_scene_30views():
+    """Whole-scene FVT at the reference's 30-view eval scale
+    (fvt.yaml: 8-view training, 30-view whole-scene test): pose-distance
+    top-k source selection must activate (v=30 > num_views=5), scan-PTF
+    must compact the overlapping trajectory (gs_ratio drops well below 1
+    and below the disjoint-view case), and chunked rendering of many
+    targets must stay finite."""
+    v = 30
+    cfg = EncoderFreeSplatCfg(
+        num_depth_candidates=8, num_views=5, d_feature=16, matching_dim=8,
+        adapter=GaussianAdapterCfg(sh_degree=1), train_bn=False,
+    )
+    # Loop trajectory: the end revisits the start, so nearest-k source
+    # selection must pick spatial neighbours, not index neighbours.
+    rng = np.random.default_rng(0)
+    extr = np.tile(np.eye(4, dtype=np.float32), (1, v, 1, 1))
+    theta = np.linspace(0, 2 * np.pi, v, endpoint=False)
+    extr[0, :, 0, 3] = 0.4 * np.cos(theta)
+    extr[0, :, 2, 3] = 0.4 * np.sin(theta)
+    sel = select_source_views(jnp.asarray(extr[0]), num_src=4)
+    # View 0's nearest pose neighbours on the loop include view v-1.
+    assert v - 1 in np.asarray(sel)[0]
+    assert 0 not in np.asarray(sel)[0]
+
+    context = make_context(v=v, h=32, w=32)
+    context["extrinsics"] = jnp.asarray(extr)
+    module = EncoderFreeSplat(cfg)
+    variables = module.init(jax.random.PRNGKey(0), context)
+    results = module.apply(variables, context)
+    ratio = float(results["gs_ratio"][0])
+    assert results["gaussians"].means.shape == (1, v * 32 * 32, 3)
+    assert 0.05 < ratio < 0.9  # heavy cross-view merging on the loop
+
+    # Chunked many-target rendering (harness render_chunk_size pathway).
+    dec_cfg = DecoderCfg(sh_degree=1, use_reference_rasterizer=False)
+    tgt = slice(0, 8)
+    out = render_views(
+        dec_cfg, results["gaussians"],
+        context["extrinsics"][:, tgt], context["intrinsics"][:, tgt],
+        context["near"][:, tgt], context["far"][:, tgt], (32, 32),
+    )
+    assert out.color.shape == (1, 8, 32, 32, 3)
+    assert np.isfinite(np.asarray(out.color)).all()
+
+
 def test_cost_volume_cosine_variant():
     """The base CostVolumeManager mode: cosine similarity, no MLP, values
     bounded to [-1, 1]."""

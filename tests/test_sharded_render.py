@@ -62,6 +62,24 @@ def test_sharded_gradients_match(mesh):
         )
 
 
+def test_sharded_overflow_reported(mesh):
+    """An undersized per-device slab budget must REPORT its truncation via
+    the psum'd dropped count (never silently), and the scaled-down default
+    budget must drop nothing on a smooth scene."""
+    means, cov, harm, opac, extr, intr = make_scene(n=256, seed=4, spread=3.0)
+    bg = jnp.zeros(3)
+    *_, stats = rasterize_sharded(
+        means, cov, harm, opac, extr, intr, (H, W), bg, 1, mesh=mesh,
+        capacity=8 * 256, per_device_capacity=64, return_stats=True,
+    )
+    assert int(stats["dropped"]) > 0
+    *_, stats = rasterize_sharded(
+        means, cov, harm, opac, extr, intr, (H, W), bg, 1, mesh=mesh,
+        capacity=8 * 256, return_stats=True,
+    )
+    assert int(stats["dropped"]) == 0
+
+
 def test_sharded_jit_under_mesh(mesh):
     """The sharded renderer composes with jit over sharded inputs."""
     means, cov, harm, opac, extr, intr = make_scene(n=256, seed=3, spread=3.0)

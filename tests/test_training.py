@@ -95,6 +95,63 @@ def test_lpips_loss_delay_gate():
     assert float(before) == 0.0
 
 
+def test_lpips_params_roundtrip_and_train_wiring(tmp_path):
+    """save/load of LPIPS params (.npz) preserves the tree, a torch
+    state-dict path converts, and main's loader feeds the train step
+    (an LPIPS part appears in the loss)."""
+    rng = jax.random.PRNGKey(0)
+    module = LPIPS()
+    img = jax.random.uniform(rng, (1, 32, 32, 3))
+    variables = module.init(rng, img, img)
+
+    from freesplat_tpu.training.lpips import (
+        load_lpips_params,
+        save_lpips_params,
+    )
+
+    path = tmp_path / "lpips.npz"
+    save_lpips_params(variables, str(path))
+    restored = load_lpips_params(str(path))
+    a = jax.tree_util.tree_leaves(variables)
+    b = jax.tree_util.tree_leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # Torch state-dict route (fake lpips-package layout).
+    import torch
+
+    from tests.test_convert import fake_lpips_state_dict
+
+    pth = tmp_path / "lpips.pth"
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v))
+         for k, v in fake_lpips_state_dict().items()},
+        pth,
+    )
+    converted = load_lpips_params(str(pth))
+    d = module.apply(converted, img, img)
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+    # main._load_lpips: silent None without a path, loads with one.
+    from freesplat_tpu.config.config import load_config
+    from freesplat_tpu.main import _load_lpips
+
+    cfg = load_config([])
+    assert _load_lpips(cfg) is None
+    cfg = load_config([f"loss.lpips.weights_path={path}"])
+    params = _load_lpips(cfg)
+    assert params is not None
+
+    # The loss composes the LPIPS part when params are present.
+    pred = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, 32, 32, 3))
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), (1, 1, 32, 32, 3))
+    total, parts = total_loss(
+        LossCfg(), pred, tgt, jnp.asarray(0), lpips_params=params
+    )
+    assert "lpips" in parts and np.isfinite(float(total))
+
+
 def test_onecycle_schedule_shape():
     cfg = OptimizerCfg(lr=1e-4, warm_up_steps=100, max_steps=1000, cosine_lr=True)
     sched = make_schedule(cfg)
