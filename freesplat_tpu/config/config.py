@@ -33,6 +33,9 @@ class DatasetCfg:
     num_context_views: int = 2
     evaluation_index_path: str = "assets/evaluation_index_scannet_2views.json"
     fvt_random_contexts: bool = False
+    # synthetic only: pre-render this many batches once and cycle
+    # (overfit runs; 0 = fresh scene per step).
+    synthetic_cache_batches: int = 0
 
 
 @dataclass(frozen=True)

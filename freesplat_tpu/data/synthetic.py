@@ -28,6 +28,10 @@ class SyntheticCfg:
     near: float = 0.5
     far: float = 15.0
     seed: int = 0
+    # > 0: pre-render this many camera rings once and cycle through them
+    # (the dense golden-model render is O(n·pixels) — at 384x512 it costs
+    # multiples of the train step, so overfit runs should cache).
+    cache_batches: int = 0
 
 
 def _random_scene(rng: np.random.Generator, n: int):
@@ -80,8 +84,7 @@ def synthetic_batches(cfg: SyntheticCfg) -> Iterator[dict]:
         )
         return jnp.clip(color, 0.0, 1.0), depth / jnp.maximum(alpha, 1e-6)
 
-    scene_id = 0
-    while True:
+    def make_batch(scene_id: int) -> dict:
         v_total = cfg.num_context + cfg.num_target
         extr = _camera_ring(rng, v_total)
         colors, depths = [], []
@@ -106,9 +109,20 @@ def synthetic_batches(cfg: SyntheticCfg) -> Iterator[dict]:
                 "depth": jnp.asarray(depths[sel])[None],
             }
 
-        yield {
+        return {
             "context": views(ctx),
             "target": views(tgt),
             "scene": [f"synthetic_{scene_id}"],
         }
-        scene_id += 1
+
+    if cfg.cache_batches > 0:
+        cached = [make_batch(i) for i in range(cfg.cache_batches)]
+        i = 0
+        while True:
+            yield cached[i % len(cached)]
+            i += 1
+    else:
+        scene_id = 0
+        while True:
+            yield make_batch(scene_id)
+            scene_id += 1

@@ -104,6 +104,7 @@ def make_batches(cfg: RootCfg, stage: str, step_fn=None):
                 image_shape=cfg.dataset.image_shape,
                 num_context=cfg.dataset.num_context_views,
                 seed=cfg.data_loader.seed,
+                cache_batches=cfg.dataset.synthetic_cache_batches,
             )
         )
     dm = make_data_module(cfg, step_fn=step_fn)
@@ -244,6 +245,12 @@ def test(cfg: RootCfg) -> None:
 
 
 def main(argv: list[str] | None = None) -> None:
+    # Persistent compilation cache BEFORE the first jit: the big model
+    # graphs take minutes to compile (remotely on the tunneled TPU);
+    # cache hits across processes are instant.
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = load_config(argv if argv is not None else sys.argv[1:])
     np.random.seed(cfg.seed)
     if cfg.mode == "train":

@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -64,37 +66,68 @@ class MLP(nn.Module):
 
 
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear x2, align_corners=False (reference sr_utils upsample)."""
+    """Bilinear x2, align_corners=False (reference sr_utils upsample).
+
+    Exact-2x align_corners=False interpolation is a fixed two-phase
+    stencil: out[2i] = 0.25*x[i-1] + 0.75*x[i], out[2i+1] = 0.75*x[i] +
+    0.25*x[i+1] (edges clamped).  Written as shifted adds + an
+    interleaving reshape — dense VPU work XLA fuses — instead of the
+    general gather-based resize (TPU gathers along spatial axes of a
+    4-D tensor are the slow path; the decoder grid calls this ~10x per
+    forward).  Matches ``_interpolate_bilinear`` bit-for-bit in tests.
+    """
     n, h, w, c = x.shape
-    return _interpolate_bilinear(x, 2 * h, 2 * w, align_corners=False)
+
+    def interleave2(a, b, axis):
+        stacked = jnp.stack([a, b], axis=axis + 1)
+        shape = list(a.shape)
+        shape[axis] *= 2
+        return stacked.reshape(shape)
+
+    xm = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)  # x[i-1], clamped
+    xp = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)  # x[i+1], clamped
+    x = interleave2(0.25 * xm + 0.75 * x, 0.75 * x + 0.25 * xp, axis=1)
+    xm = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
+    xp = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    return interleave2(0.25 * xm + 0.75 * x, 0.75 * x + 0.25 * xp, axis=2)
+
+
+def _resize_matrix(src: int, dst: int, align_corners: bool) -> np.ndarray:
+    """(dst, src) two-tap bilinear interpolation matrix (torch semantics)."""
+    if align_corners and dst > 1:
+        pos = np.linspace(0.0, src - 1.0, dst, dtype=np.float64)
+    else:
+        pos = (np.arange(dst, dtype=np.float64) + 0.5) * (src / dst) - 0.5
+    p0 = np.clip(np.floor(pos), 0, src - 1)
+    p1 = np.clip(p0 + 1, 0, src - 1)
+    t = np.clip(pos - p0, 0.0, 1.0)
+    m = np.zeros((dst, src), np.float32)
+    rows = np.arange(dst)
+    m[rows, p0.astype(np.int64)] += (1.0 - t).astype(np.float32)
+    m[rows, p1.astype(np.int64)] += t.astype(np.float32)
+    return m
 
 
 def _interpolate_bilinear(
     x: jnp.ndarray, out_h: int, out_w: int, align_corners: bool
 ) -> jnp.ndarray:
-    """NHWC bilinear resize matching torch's interpolate semantics."""
+    """NHWC bilinear resize matching torch's interpolate semantics.
+
+    Separable: two dense two-tap matmuls (trace-time numpy weights) —
+    MXU work instead of spatial-axis gathers, which XLA lowers poorly on
+    TPU.  HIGHEST precision keeps the convex 2-tap sums at f32 accuracy.
+    """
     n, h, w, c = x.shape
     dtype = x.dtype
-    if align_corners and out_h > 1 and out_w > 1:
-        ys = jnp.linspace(0.0, h - 1.0, out_h, dtype=jnp.float32)
-        xs = jnp.linspace(0.0, w - 1.0, out_w, dtype=jnp.float32)
-    else:
-        ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
-        xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
-    y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = jnp.clip(ys - y0, 0.0, 1.0)
-    wx = jnp.clip(xs - x0, 0.0, 1.0)
-    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
-    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
-
-    top = x[:, y0i][:, :, x0i] * (1 - wx)[None, None, :, None] + \
-        x[:, y0i][:, :, x1i] * wx[None, None, :, None]
-    bot = x[:, y1i][:, :, x0i] * (1 - wx)[None, None, :, None] + \
-        x[:, y1i][:, :, x1i] * wx[None, None, :, None]
-    out = top * (1 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
+    ry = jnp.asarray(_resize_matrix(h, out_h, align_corners))
+    rx = jnp.asarray(_resize_matrix(w, out_w, align_corners))
+    xf = x.astype(jnp.float32)
+    out = jnp.einsum(
+        "oh,nhwc->nowc", ry, xf, precision=jax.lax.Precision.HIGHEST
+    )
+    out = jnp.einsum(
+        "pw,nowc->nopc", rx, out, precision=jax.lax.Precision.HIGHEST
+    )
     return out.astype(dtype)
 
 

@@ -221,41 +221,53 @@ def _fuse_one_view(
     )
     fused_depth = (g_depth * w0[:, 0] + depth_i * w1[:, 0]) / denom[:, 0]
 
-    # Scatter fused values back into the winning slots.
+    # Scatter fused values back into the winning slots — ONE packed
+    # row-scatter in the same (c+22)-wide layout as the gather above
+    # (TPU scatters are row-rate-bound like gathers: six per-field
+    # scatters of HW rows cost ~6x one packed scatter).
     widx = jnp.where(matched, winner, g)  # sentinel drops
-    state = state._replace(
-        feat=state.feat.at[widx].set(fused_feat, mode="drop"),
-        coords=state.coords.at[widx].set(fused_coords, mode="drop"),
-        density=state.density.at[widx].set(fused_density, mode="drop"),
-        weight=state.weight.at[widx].set(fused_weight, mode="drop"),
-        depth=state.depth.at[widx].set(fused_depth, mode="drop"),
-        extrinsics=state.extrinsics.at[widx].set(fused_extr, mode="drop"),
+    fused_packed = jnp.concatenate(
+        [
+            fused_feat,
+            fused_density,
+            fused_weight,
+            fused_coords,
+            fused_depth[:, None],
+            fused_extr.reshape(-1, 16),
+        ],
+        axis=-1,
     )
+    packed = packed.at[widx].set(fused_packed, mode="drop")
 
     # Unmerged pixels of view i claim their own slots (reference's append,
     # :508-519 — unmatched = pixels outside fusion_mask).  Written with
     # dynamic_update_slice so ``i`` may be a lax.scan tracer.
     new = ~fusion_mask  # (HW,)
     start = i * hw
-
-    def put(buf, block):
-        zeros = (0,) * (buf.ndim - 1)
-        return jax.lax.dynamic_update_slice(buf, block, (start, *zeros))
-
-    state = state._replace(
-        feat=put(state.feat, jnp.where(new[:, None], feat_i, 0.0)),
-        coords=put(state.coords, jnp.where(new[:, None], coords_i, 0.0)),
-        density=put(state.density, jnp.where(new[:, None], density_i, 0.0)),
-        weight=put(state.weight, jnp.where(new[:, None], weight_i, 0.0)),
-        depth=put(state.depth, jnp.where(new, depth_i, 0.0)),
-        extrinsics=put(
-            state.extrinsics,
-            jnp.where(
-                new[:, None, None],
-                jnp.broadcast_to(extrinsic_i[None], (hw, 4, 4)),
-                0.0,
-            ),
+    own_packed = jnp.where(
+        new[:, None],
+        jnp.concatenate(
+            [
+                feat_i,
+                density_i,
+                weight_i,
+                coords_i,
+                depth_i[:, None],
+                jnp.broadcast_to(extrinsic_i.reshape(1, 16), (hw, 16)),
+            ],
+            axis=-1,
         ),
-        valid=put(state.valid, new),
+        0.0,
     )
-    return state
+    packed = jax.lax.dynamic_update_slice(packed, own_packed, (start, 0))
+
+    valid = jax.lax.dynamic_update_slice(state.valid, new, (start,))
+    return PTFState(
+        feat=packed[:, :c],
+        density=packed[:, c : c + 1],
+        weight=packed[:, c + 1 : c + 2],
+        coords=packed[:, c + 2 : c + 5],
+        depth=packed[:, c + 5],
+        extrinsics=packed[:, c + 6 : c + 22].reshape(g, 4, 4),
+        valid=valid,
+    )

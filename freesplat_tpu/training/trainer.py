@@ -171,9 +171,32 @@ def fit(
         from ..parallel.distributed import replicate_state, shard_batch
 
         state = replicate_state(mesh, state)
+
+    # The host tracks the step itself: fetching state["step"] (or any
+    # metric) from the device each iteration would block the dispatch
+    # loop on the in-flight update and serialize host and device.
+    # Metrics are logged one interval LATE — by the time the next log
+    # point arrives the values are already on the host side of the
+    # pipeline, so the fetch is (nearly) free.
+    step = int(state["step"])
+    pending: tuple[int, dict, float] | None = None  # (step, refs, t_done)
+
+    def emit(entry):
+        p_step, refs, dt = entry
+        vals = {k: float(v) for k, v in refs.items()}
+        vals["steps_per_s"] = cfg.log_every / max(dt, 1e-9)
+        if vals.get("dropped_instances", 0) > 0:
+            print(
+                f"WARNING step {p_step}: rasterizer dropped "
+                f"{int(vals['dropped_instances'])} instances "
+                "(capacity/MAX_CHUNKS overflow) — raise "
+                "decoder.capacity_factor",
+                flush=True,
+            )
+        log_fn(p_step, vals)
+
     t0 = time.time()
     for batch in batches:
-        step = int(state["step"])
         if step >= max_steps:
             break
         # Strip host-only fields (scene names, fvs split) before jit.
@@ -190,20 +213,27 @@ def fit(
             array_batch = shard_batch(mesh, array_batch)
         state, metrics = train_step(state, array_batch)
         if log_fn is not None and step % cfg.log_every == 0:
-            metrics = {k: float(v) for k, v in metrics.items()}
-            metrics["steps_per_s"] = cfg.log_every / max(time.time() - t0, 1e-9)
+            if pending is not None:
+                emit(pending)
+            pending = (step, metrics, time.time() - t0)
             t0 = time.time()
-            if metrics.get("dropped_instances", 0) > 0:
-                print(
-                    f"WARNING step {step}: rasterizer dropped "
-                    f"{int(metrics['dropped_instances'])} instances "
-                    "(capacity/MAX_CHUNKS overflow) — raise "
-                    "decoder.capacity_factor",
-                    flush=True,
-                )
-            log_fn(step, metrics)
+        elif pending is not None and step - pending[0] >= 64:
+            # Backpressure: don't let the host run more than ~64 steps
+            # (and their queued batches) ahead of the device.
+            emit(pending)
+            pending = None
+        sync = (
+            (checkpoint_fn is not None and step % checkpoint_every == 0)
+            or (val_fn is not None and step % val_every == 0)
+        ) and step > 0
+        if sync and pending is not None:
+            emit(pending)  # keep log order ahead of val/ckpt output
+            pending = None
         if checkpoint_fn is not None and step > 0 and step % checkpoint_every == 0:
             checkpoint_fn(step, state)
         if val_fn is not None and step > 0 and step % val_every == 0:
             val_fn(step, state)
+        step += 1
+    if pending is not None and log_fn is not None:
+        emit(pending)
     return state

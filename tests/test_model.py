@@ -489,6 +489,47 @@ def test_cost_volume_cosine_variant():
     assert np.abs(v).max() > 0.1  # in-bounds sweep actually sampled
 
 
+def test_bilinear_resize_matches_torch():
+    """upsample2x (fixed 2-phase stencil) and the matmul-based general
+    resize must match torch.nn.functional.interpolate in both
+    align_corners modes (reference uses torch upsampling throughout)."""
+    import torch
+
+    from freesplat_tpu.models.layers import (
+        _interpolate_bilinear,
+        upsample2x,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def torch_resize(x, out_hw, ac):
+        return torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
+            mode="bilinear", align_corners=ac,
+        ).permute(0, 2, 3, 1).numpy()
+
+    for shape, out_hw, ac in [
+        ((2, 24, 32, 65), (48, 64), False),
+        ((1, 7, 9, 3), (19, 5), False),
+        ((2, 24, 32, 12), (48, 64), True),
+        ((1, 5, 5, 2), (13, 7), True),
+    ]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        mine = np.asarray(
+            _interpolate_bilinear(jnp.asarray(x), *out_hw, align_corners=ac)
+        )
+        np.testing.assert_allclose(
+            mine, torch_resize(x, out_hw, ac), atol=1e-4,
+            err_msg=f"{shape}->{out_hw} ac={ac}",
+        )
+    x = rng.standard_normal((2, 24, 32, 65)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(upsample2x(jnp.asarray(x))),
+        torch_resize(x, (48, 64), False),
+        atol=1e-5,
+    )
+
+
 def test_map_pdf_to_opacity():
     from freesplat_tpu.models.encoder import OpacityMappingCfg, map_pdf_to_opacity
 
