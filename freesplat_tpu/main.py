@@ -194,7 +194,7 @@ def train(cfg: RootCfg) -> None:
             variables["batch_stats"] = state["batch_stats"]
         metrics = validation_step(
             cfg.encoder, cfg.decoder, variables, batch, step,
-            save_video=True,
+            save_video=True, save_projections=True,
         )
         print(f"val step {step}: psnr={metrics['psnr']:.2f}", flush=True)
 

@@ -76,6 +76,56 @@ def render_orthographic(
     return color
 
 
+def render_projections(
+    gaussians: Gaussians,
+    resolution: int = 256,
+    margin: float = 0.1,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Three axis-aligned orthographic projections of one scene's
+    Gaussians — the reference's 3D validation visualization
+    (``visualization/validation_in_3d.py:25-89``: equal AABB + margin,
+    camera looking down each axis, fov_degrees=10).  Returns
+    (3, resolution, resolution, 3)."""
+    means = gaussians.means
+    minima = means.min(axis=0)
+    maxima = means.max(axis=0)
+    center = 0.5 * (minima + maxima)
+    half = jnp.max(0.5 * (maxima - minima)) * (1.0 + margin)
+    scene_min = center - half
+    scene_max = center + half
+
+    views = []
+    for look_axis in range(3):
+        right_axis = (look_axis + 1) % 3
+        down_axis = (look_axis + 2) % 3
+        extr = jnp.zeros((4, 4), jnp.float32)
+        extr = extr.at[right_axis, 0].set(1.0)
+        extr = extr.at[down_axis, 1].set(1.0)
+        extr = extr.at[look_axis, 2].set(1.0)
+        extr = extr.at[right_axis, 3].set(center[right_axis])
+        extr = extr.at[down_axis, 3].set(center[down_axis])
+        extr = extr.at[look_axis, 3].set(scene_min[look_axis])
+        extr = extr.at[3, 3].set(1.0)
+        extent = scene_max - scene_min
+        views.append(
+            render_orthographic(
+                gaussians,
+                extr,
+                float(extent[right_axis]),
+                float(extent[down_axis]),
+                0.0,
+                float(extent[look_axis]),
+                (resolution, resolution),
+                jnp.zeros(3),
+                sh_degree=0,
+                fov_degrees=10.0,
+                use_pallas=use_pallas,
+            )
+        )
+    return jnp.stack(views)
+
+
 def render_depth(
     gaussians: Gaussians,
     extrinsics: jnp.ndarray,  # (4, 4)

@@ -27,6 +27,7 @@ def validation_step(
     step: int,
     output_dir: str | Path = "outputs/local",
     save_video: bool = False,
+    save_projections: bool = False,
 ) -> dict[str, float]:
     import dataclasses
 
@@ -71,6 +72,25 @@ def validation_step(
     with (out_dir / "val_metrics.txt").open("a") as f:
         scene = batch.get("scene", ["?"])[0]
         f.write(f"step {step} scene {scene} psnr {psnr:.4f}\n")
+
+    if save_projections:
+        # 3D validation renders: axis-aligned orthographic projections of
+        # the predicted Gaussians (reference validation_in_3d.py via
+        # model_wrapper.py:591-607).
+        from ..models.render_extras import render_projections
+
+        g0 = jax.tree_util.tree_map(lambda x: x[0], results["gaussians"])
+        projections = np.asarray(render_projections(g0, resolution=256))
+        proj_grid = hcat(
+            *[
+                add_label(projections[i], f"{'XYZ'[(i + 1) % 3]}"
+                          f"{'XYZ'[(i + 2) % 3]} Projection")
+                for i in range(3)
+            ]
+        )
+        Image.fromarray(
+            (np.clip(proj_grid, 0, 1) * 255).astype(np.uint8)
+        ).save(out_dir / f"val_{step:0>7}_projections.png")
 
     if save_video:
         # Trajectory videos, as the reference logs during validation

@@ -106,8 +106,9 @@ def test_validation_step(tmp_path):
     }
     metrics = validation_step(
         cfg, DecoderCfg(sh_degree=1), variables, batch, step=7,
-        output_dir=tmp_path,
+        output_dir=tmp_path, save_projections=True,
     )
     assert np.isfinite(metrics["psnr"])
     assert (tmp_path / "val_0000007.png").exists()
+    assert (tmp_path / "val_0000007_projections.png").exists()
     assert "psnr" in (tmp_path / "val_metrics.txt").read_text()

@@ -45,6 +45,19 @@ def test_orthographic_render():
     assert np.abs(arr - 0.3).max() > 0.05
 
 
+def test_render_projections():
+    """3 axis-aligned orthographic views of the scene, all finite, with
+    signal in each (reference validation_in_3d.py render_projections)."""
+    from freesplat_tpu.models.render_extras import render_projections
+
+    g = make_gaussians(n=120)
+    proj = np.asarray(render_projections(g, resolution=64, use_pallas=False))
+    assert proj.shape == (3, 64, 64, 3)
+    assert np.isfinite(proj).all()
+    for i in range(3):
+        assert proj[i].std() > 1e-3  # each axis view actually sees the cloud
+
+
 def test_render_depth_modes():
     g = make_gaussians()
     extr = jnp.eye(4)
