@@ -50,8 +50,26 @@ def maybe_initialize_distributed() -> bool:
         return False
     import jax
 
+    # JAX's own auto-detection only understands SLURM/OMPI/GKE/mpi4py
+    # launchers; the generic coordinator variables must be passed
+    # explicitly.
+    kwargs: dict = {}
+    addr = os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    nproc = os.environ.get("NUM_PROCESSES") or os.environ.get(
+        "JAX_NUM_PROCESSES"
+    )
+    pid = os.environ.get("PROCESS_ID") or os.environ.get("JAX_PROCESS_ID")
+    if addr and nproc is not None and pid is not None:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         # Backend already initialized (e.g. something touched jax.devices
         # first, or a second call) — warn and continue single-process
@@ -92,21 +110,40 @@ def replicated_sharding(mesh) -> Any:
 
 
 def shard_batch(mesh, batch: Any) -> Any:
-    """Device_put a host batch with its leading axis split over the mesh."""
+    """Put a host batch on the mesh with its leading axis split over
+    ``data``.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process (DCN):
+    each process passes its LOCAL shard of the global batch (global batch
+    = local batch x process count along dim 0) and the pieces are
+    assembled into one global array — ``device_put`` cannot address other
+    hosts' devices."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    multi = jax.process_count() > 1
+
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(
-            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
-        )
+        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        if multi:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_state(mesh, state: Any) -> Any:
+    """Replicate the train state over the mesh (every process must hold
+    identical values — true for same-seed init or a restored checkpoint)."""
     import jax
 
     rep = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(x)
+            ),
+            state,
+        )
     return jax.device_put(state, jax.tree_util.tree_map(lambda _: rep, state))
