@@ -133,6 +133,54 @@ def shard_batch(mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def make_view_sharded_encode(encoder, mesh, axis: str = "data"):
+    """Whole-scene view parallelism (SURVEY §2.5: "shard views across
+    chips for backbone/cost-volume; PTF is the serialization point").
+
+    Returns ``encode(variables, context) -> results`` jitted with the
+    context's VIEW axis (dim 1) sharded over ``mesh[axis]`` and
+    parameters replicated.  XLA's partitioner runs the per-view trunk
+    (backbone, matching, sweep, depth decoder) on each device's view
+    shard and inserts the all-gathers where cross-view data is needed
+    (nearest-k source features, PTF fusion).  The view count must divide
+    the mesh axis size; use ``pad_views`` otherwise.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    view_sharded = NamedSharding(mesh, P(None, axis))
+    replicated = NamedSharding(mesh, P())
+
+    def encode(variables, context):
+        return encoder.apply(variables, context)
+
+    # Every standard context array is (b, v, ...) — the view-sharded spec
+    # applies as a pytree prefix to the whole dict.
+    return jax.jit(encode, in_shardings=(replicated, view_sharded))
+
+
+def pad_views(context: dict, multiple: int) -> tuple[dict, int]:
+    """Pad the view axis (dim 1) up to a multiple by repeating the last
+    view; returns (padded context, original view count).  Extra views
+    only add duplicate Gaussians (PTF merges them; slots stay valid) —
+    callers slice per-view outputs back to ``v`` where it matters."""
+    v = context["image"].shape[1]
+    pad = (-v) % multiple
+    if pad == 0:
+        return context, v
+
+    def pad_arr(x):
+        x = np.asarray(x) if not hasattr(x, "ndim") else x
+        if getattr(x, "ndim", 0) >= 2 and x.shape[1] == v:
+            reps = [x[:, -1:]] * pad
+            import jax.numpy as jnp
+
+            return jnp.concatenate([jnp.asarray(x), *reps], axis=1)
+        return x
+
+    return {k: pad_arr(x) for k, x in context.items()}, v
+
+
 def replicate_state(mesh, state: Any) -> Any:
     """Replicate the train state over the mesh (every process must hold
     identical values — true for same-seed init or a restored checkpoint)."""
