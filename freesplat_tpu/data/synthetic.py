@@ -94,8 +94,21 @@ def synthetic_batches(cfg: SyntheticCfg) -> Iterator[dict]:
             depths.append(np.asarray(d))
         colors = np.stack(colors)
         depths = np.stack(depths)
-        ctx = slice(0, cfg.num_context)
-        tgt = slice(cfg.num_context, v_total)
+        # Targets INTERPOLATE between the contexts (the reference's
+        # bounded sampler places targets strictly between the context
+        # views, view_sampler_bounded.py) — contexts are the trajectory
+        # endpoints, targets the interior views.  Extrapolated targets
+        # see scene regions no context ray covers (per-pixel Gaussians
+        # cannot render them), which caps achievable PSNR.
+        order = np.arange(v_total)
+        ctx = np.concatenate([order[:1], order[-1:]]) if (
+            cfg.num_context == 2
+        ) else order[: cfg.num_context]
+        tgt = (
+            order[1:-1][:cfg.num_target]
+            if cfg.num_context == 2
+            else order[cfg.num_context:]
+        )
 
         def views(sel):
             idx = np.arange(v_total)[sel]

@@ -148,10 +148,16 @@ def draw_lines(
 
 
 def save_video(frames: Iterable[np.ndarray], path, fps: int = 30) -> None:
-    """Dump frames as an animated GIF (no ffmpeg in this image)."""
+    """Dump frames as an animated GIF (no ffmpeg in this image).
+
+    Callers may pass reference-style ``.mp4`` names (model_wrapper logs
+    mp4 videos); PIL cannot encode mp4, so the suffix is rewritten to
+    ``.gif`` rather than crashing a training run mid-validation."""
     from pathlib import Path
 
     path = Path(path)
+    if path.suffix.lower() not in (".gif", ".webp", ".png"):
+        path = path.with_suffix(".gif")
     path.parent.mkdir(parents=True, exist_ok=True)
     pils = [
         Image.fromarray((np.clip(_to_float(f), 0, 1) * 255).astype(np.uint8))
