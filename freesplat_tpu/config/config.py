@@ -72,6 +72,9 @@ class TestCfg:
     save_depth: bool = True  # depth_pred/depth_render colormaps (mw:381-416)
     save_ply: bool = False  # per-scene gaussians.ply export
     save_video: bool = False  # wobble + interpolation trajectory videos
+    # Stop after this many scenes (None = exhaust the dataset; required
+    # for the infinite synthetic stream).
+    max_scenes: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -176,10 +179,25 @@ EXPERIMENTS: dict[str, Any] = {
 # ---------------------------------------------------------------------------
 # Dotted overrides.
 
-def _parse_value(text: str, current: Any) -> Any:
+def _parse_value(text: str, current: Any, annotation: Any = None) -> Any:
+    import typing
+
+    optional = type(None) in typing.get_args(annotation)
+    if (optional or current is None) and text.lower() in ("null", "none"):
+        return None
     if current is None or isinstance(current, str):
         if text.lower() in ("null", "none"):
             return None
+        # Optional[int/float/bool] fields default to None — coerce from
+        # the declared annotation, not the (None) current value.
+        args = typing.get_args(annotation)
+        inner = next((a for a in args if a is not type(None)), None)
+        if inner is int:
+            return int(float(text))
+        if inner is float:
+            return float(text)
+        if inner is bool:
+            return text.lower() in ("1", "true", "yes")
         return text
     if isinstance(current, bool):
         return text.lower() in ("1", "true", "yes")
@@ -206,7 +224,10 @@ def apply_override(cfg: Any, dotted: str, value: str) -> Any:
     if rest:
         new_value = apply_override(current, rest, value)
     else:
-        new_value = _parse_value(value, current)
+        import typing
+
+        hints = typing.get_type_hints(type(cfg))
+        new_value = _parse_value(value, current, hints.get(head))
     return replace(cfg, **{head: new_value})
 
 

@@ -43,6 +43,10 @@ def run_test(
 ) -> dict[str, float]:
     from ..main import make_batches  # late import to avoid cycle
 
+    if max_scenes is None:
+        max_scenes = cfg.test.max_scenes
+        if max_scenes is None and cfg.dataset.name == "synthetic":
+            max_scenes = 4  # the synthetic stream is infinite
     out_dir = Path(cfg.test.output_path)
     benchmarker = Benchmarker()
     # Inference: freeze batch-norm statistics (the reference oddly keeps BN

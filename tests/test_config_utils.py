@@ -46,6 +46,14 @@ def test_dotted_overrides():
     assert cfg.mode == "test"
     cfg = apply_override(cfg, "checkpointing.load", "somewhere")
     assert cfg.checkpointing.load == "somewhere"
+    # Optional[int] fields defaulting to None coerce from the annotation.
+    cfg = apply_override(cfg, "test.max_scenes", "3")
+    assert cfg.test.max_scenes == 3
+    cfg = apply_override(cfg, "test.max_scenes", "none")
+    assert cfg.test.max_scenes is None
+    # Optional[str] stays a string.
+    cfg = apply_override(cfg, "dataset.overfit_to_scene", "scene0000_00")
+    assert cfg.dataset.overfit_to_scene == "scene0000_00"
     with pytest.raises(KeyError):
         apply_override(cfg, "nonexistent.field", "1")
 
