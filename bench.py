@@ -13,7 +13,6 @@ numbers — see BASELINE.md).
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -56,20 +55,17 @@ def main() -> None:
         return jnp.mean((color - target) ** 2)
 
     step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
-    # Honest timing: block_until_ready does NOT reliably block on the axon
-    # tunnel (see utils/timing.py); chain each dispatch on the previous
-    # loss scalar and fetch one value at the end so every step must run.
-    def chained(reps: int) -> float:
-        carry = jnp.float32(0.0)
-        t0 = time.time()
-        for _ in range(reps):
-            val, _ = step(means + carry * 0, cov, harm, opac)
-            carry = val
-        float(carry)
-        return (time.time() - t0) / reps
+    # Honest timing via the centralized helper (utils/timing.bench):
+    # varied inputs chained through a scalar data dependency, fenced by
+    # ONE device_get — block_until_ready does not reliably block on the
+    # axon tunnel.
+    from freesplat_tpu.utils.timing import bench as timed
 
-    chained(2)  # compile + warmup
-    dt = chained(16)
+    dt = timed(
+        lambda m: step(m, cov, harm, opac),
+        [(means + 0.001 * i,) for i in range(3)],
+        n=16,
+    )
     rays_per_s = h * w / dt
 
     baseline_path = os.path.join(

@@ -62,6 +62,10 @@ class TrainerCfg:
     # (src/main.py:96-110).  The global batch (batch_size) is sharded
     # across the mesh; a 1-device mesh is the plain single-chip program.
     devices: str = "auto"
+    # Validation extras (trajectory videos + 3D Gaussian projections are
+    # ~minutes of extra renders per val pass on a tunneled chip).
+    val_save_video: bool = False
+    val_save_projections: bool = False
 
 
 @dataclass(frozen=True)

@@ -140,35 +140,63 @@ class DataModule:
     def _apply_shim(self, batch: dict) -> dict:
         return self.shim(batch) if self.shim is not None else batch
 
+    @staticmethod
+    def _process_rank() -> tuple[int, int]:
+        """(process_index, process_count) under multi-host training —
+        each process must stream a DISJOINT partition of the data or
+        "data parallelism" silently trains every host on the same
+        batches (gradients identical to single-host at N-host cost)."""
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:
+            return 0, 1
+
     def _stream(self, dataset, *, shuffle: bool, loop: bool) -> Iterator[dict]:
+        rank, world = self._process_rank()
         rng = np.random.default_rng(self.cfg.seed)
         bs = self.cfg.batch_size
+
+        def maybe_set_step():
+            if self.step_fn is not None and hasattr(
+                getattr(dataset, "view_sampler", None), "set_step"
+            ):
+                dataset.view_sampler.set_step(self.step_fn())
+
         if not hasattr(dataset, "__getitem__"):
             # Iterable (chunk-streamed) dataset, e.g. RE10K: examples()
             # already shuffles chunk order internally (reference
-            # dataset_re10k.py:69-127 IterableDataset).
+            # dataset_re10k.py:69-127 IterableDataset).  Multi-host:
+            # round-robin examples by process.  The curriculum step is
+            # applied BEFORE the generator produces each example (the
+            # sampler runs lazily when next() is called).
             while True:
                 buf: list[dict] = []
-                for example in dataset.examples():
-                    if self.step_fn is not None and hasattr(
-                        getattr(dataset, "view_sampler", None), "set_step"
-                    ):
-                        dataset.view_sampler.set_step(self.step_fn())
-                    buf.append(example)
-                    if len(buf) == bs:
-                        yield self._apply_shim(collate(buf))
-                        buf = []
+                it = dataset.examples()
+                i = 0
+                while True:
+                    maybe_set_step()
+                    try:
+                        example = next(it)
+                    except StopIteration:
+                        break
+                    if i % world == rank:
+                        buf.append(example)
+                        if len(buf) == bs:
+                            yield self._apply_shim(collate(buf))
+                            buf = []
+                    i += 1
                 if not loop:
                     return
         while True:
             order = (
                 rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
             )
+            # Multi-host: disjoint strided partition of each epoch.
+            order = order[rank::world]
             for start in range(0, len(order) - bs + 1, bs):
-                if self.step_fn is not None and hasattr(
-                    getattr(dataset, "view_sampler", None), "set_step"
-                ):
-                    dataset.view_sampler.set_step(self.step_fn())
+                maybe_set_step()
                 yield self._apply_shim(
                     collate([dataset[int(i)] for i in order[start : start + bs]])
                 )

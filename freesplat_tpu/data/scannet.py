@@ -172,10 +172,18 @@ def data_loader(
 
     ``step_fn``: optional callable returning the current global step —
     passed through to curriculum view samplers (replaces the reference's
-    shared-memory StepTracker; sampling happens in the host process)."""
+    shared-memory StepTracker; sampling happens in the host process).
+    Multi-host: each process draws a disjoint strided partition."""
+    try:
+        import jax
+
+        rank, world = jax.process_index(), jax.process_count()
+    except Exception:
+        rank, world = 0, 1
     rng = np.random.default_rng(seed)
     while True:
         order = rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
+        order = order[rank::world]
         for start in range(0, len(order) - batch_size + 1, batch_size):
             if step_fn is not None and hasattr(dataset.view_sampler, "set_step"):
                 dataset.view_sampler.set_step(step_fn())

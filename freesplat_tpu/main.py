@@ -99,11 +99,13 @@ def make_data_module(cfg: RootCfg, step_fn=None) -> DataModule:
 
 def make_batches(cfg: RootCfg, stage: str, step_fn=None):
     if cfg.dataset.name == "synthetic":
+        # Multi-host: offset the generator seed per process so each host
+        # streams distinct scenes.
         return synthetic_batches(
             SyntheticCfg(
                 image_shape=cfg.dataset.image_shape,
                 num_context=cfg.dataset.num_context_views,
-                seed=cfg.data_loader.seed,
+                seed=cfg.data_loader.seed + jax.process_index(),
                 cache_batches=cfg.dataset.synthetic_cache_batches,
             )
         )
@@ -125,9 +127,21 @@ def train(cfg: RootCfg) -> None:
         )
     mesh = make_mesh(cfg.trainer.devices)
     n_dev = mesh.devices.size
-    if cfg.data_loader.batch_size % n_dev:
-        # Shrink to the largest device count the global batch divides by
-        # (devices="auto" on a big mesh with batch_size=1 should train on
+    n_proc = jax.process_count()
+    # data_loader.batch_size is PER PROCESS; the global batch is
+    # batch_size * process_count and must divide the global mesh.
+    global_batch = cfg.data_loader.batch_size * n_proc
+    if global_batch % n_dev:
+        if n_proc > 1:
+            # Shrinking the mesh would strand other processes' devices —
+            # a misconfigured multi-host launch must fail loudly.
+            raise ValueError(
+                f"global batch {global_batch} (= {cfg.data_loader.batch_size}"
+                f" per process x {n_proc} processes) does not divide the "
+                f"{n_dev}-device mesh"
+            )
+        # Single process: shrink to the largest device count the batch
+        # divides by (devices="auto" with batch_size=1 should train on
         # one device, not crash).
         fit_dev = max(
             d for d in range(1, n_dev + 1)
@@ -194,7 +208,8 @@ def train(cfg: RootCfg) -> None:
             variables["batch_stats"] = state["batch_stats"]
         metrics = validation_step(
             cfg.encoder, cfg.decoder, variables, batch, step,
-            save_video=True, save_projections=True,
+            save_video=cfg.trainer.val_save_video,
+            save_projections=cfg.trainer.val_save_projections,
         )
         print(f"val step {step}: psnr={metrics['psnr']:.2f}", flush=True)
 

@@ -67,13 +67,33 @@ def maybe_initialize_distributed() -> bool:
             num_processes=int(nproc),
             process_id=int(pid),
         )
+    elif any((addr, nproc, pid)):
+        # A PARTIAL coordinator spec must fail loudly: falling through to
+        # auto-detect (which doesn't understand these generic vars) would
+        # leave N processes training independently on identical seeds —
+        # the worst failure mode, silent and plausible-looking.
+        missing = [
+            name
+            for name, val in (
+                ("COORDINATOR_ADDRESS", addr),
+                ("NUM_PROCESSES", nproc),
+                ("PROCESS_ID", pid),
+            )
+            if val is None
+        ]
+        raise RuntimeError(
+            f"incomplete multi-host launch spec: missing {missing} "
+            "(set all of COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID, "
+            "or none to use SLURM/OMPI/GKE auto-detection)"
+        )
 
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        # Backend already initialized (e.g. something touched jax.devices
-        # first, or a second call) — warn and continue single-process
-        # rather than killing the run.
+        if kwargs or force == "1":
+            raise  # an explicit multi-host launch must not degrade
+        # Auto-detected-but-unavailable (e.g. backend already touched) —
+        # continue single-process.
         print(f"warning: jax.distributed.initialize skipped: {e}", flush=True)
         return False
     _initialized = True
@@ -124,10 +144,18 @@ def shard_batch(mesh, batch: Any) -> Any:
     multi = jax.process_count() > 1
 
     def put(x):
-        x = np.asarray(x)
-        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
         if multi:
-            return jax.make_array_from_process_local_data(sharding, x)
+            return jax.make_array_from_process_local_data(
+                NamedSharding(
+                    mesh, P("data", *([None] * (np.ndim(x) - 1)))
+                ),
+                np.asarray(x),
+            )
+        sharding = NamedSharding(mesh, P("data", *([None] * (np.ndim(x) - 1))))
+        if isinstance(x, jax.Array) and x.sharding == sharding:
+            return x  # already resident with the right layout (e.g. a
+            # cached synthetic batch) — never round-trip through host
+            # numpy, which blocks on a device fetch every step.
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

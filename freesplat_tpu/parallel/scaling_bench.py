@@ -9,7 +9,6 @@ line per configuration.
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -56,28 +55,30 @@ def bench_mesh(
     target = jnp.zeros((h, w, 3), jnp.float32)
 
     def loss(m, c, hh, o):
-        color, _, _ = rasterize_sharded(
+        color, _, _, stats = rasterize_sharded(
             m, c, hh, o, extr, intr, image_shape, bg, 2,
-            mesh=mesh, capacity=2 * n_gaussians,
+            mesh=mesh, capacity=2 * n_gaussians, return_stats=True,
         )
-        return jnp.mean((color - target) ** 2)
+        return jnp.mean((color - target) ** 2), stats["dropped"]
 
-    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
+    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3), has_aux=True))
 
-    # Honest fencing: chain each dispatch on the previous loss scalar and
-    # fetch one value at the end (block_until_ready does not reliably
-    # block on the axon tunnel — see utils/timing.py).
-    def chained(n: int) -> float:
-        carry = jnp.float32(0.0)
-        t0 = time.time()
-        for _ in range(n):
-            val, _ = step(means + carry * 0, cov, harm, opac)
-            carry = val
-        float(carry)
-        return (time.time() - t0) / n
+    # The device-count-scaled slab budget must not silently shrink the
+    # measured work: a benchmark that drops instances at N devices but
+    # not at 1 would inflate "scaling efficiency".
+    (_, dropped), _ = step(means, cov, harm, opac)
+    assert int(dropped) == 0, (
+        f"{int(dropped)} instances dropped at {n_devices} devices — raise "
+        "per_device_capacity; the timing would not be comparable"
+    )
 
-    chained(1)  # compile + warmup
-    dt = chained(reps)
+    from ..utils.timing import bench
+
+    dt = bench(
+        lambda m: step(m, cov, harm, opac),
+        [(means + 0.001 * i,) for i in range(3)],
+        n=reps,
+    )
     return {
         "devices": n_devices,
         "rays_per_s": h * w / dt,

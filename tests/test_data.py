@@ -311,6 +311,29 @@ def test_data_module_stages_and_shim():
     pf2.close()
 
 
+def test_data_module_multihost_partition(monkeypatch):
+    """Each process must stream a DISJOINT partition of the data — N
+    hosts streaming identical batches would silently train on duplicated
+    data at N-host cost."""
+    from freesplat_tpu.data.data_module import DataLoaderStageCfg, DataModule
+
+    def scenes_for(rank):
+        dm = DataModule(
+            lambda stage: _FakeDataset(8),
+            DataLoaderStageCfg(batch_size=1, seed=0),
+            prefetch=0,
+        )
+        monkeypatch.setattr(
+            type(dm), "_process_rank", staticmethod(lambda: (rank, 2))
+        )
+        return [b["scene"][0] for b in dm.test_batches()]
+
+    a, b = scenes_for(0), scenes_for(1)
+    assert len(a) == len(b) == 4
+    assert not (set(a) & set(b))  # disjoint
+    assert set(a) | set(b) == {f"s{i}" for i in range(8)}  # complete
+
+
 def test_data_module_step_fn_reaches_sampler():
     from freesplat_tpu.data.data_module import DataLoaderStageCfg, DataModule
 
