@@ -79,6 +79,10 @@ class TestCfg:
     # Stop after this many scenes (None = exhaust the dataset; required
     # for the infinite synthetic stream).
     max_scenes: Optional[int] = None
+    # Shard the context VIEW axis over all devices during encoding —
+    # whole-scene (10/30-view) evaluation splits the per-view trunk
+    # across the mesh (SURVEY §2.5 view parallelism).
+    view_shard: bool = False
 
 
 @dataclass(frozen=True)

@@ -86,6 +86,30 @@ def run_test(
     if state.get("batch_stats"):
         variables["batch_stats"] = state["batch_stats"]
 
+    sharded_encode = None
+    if cfg.test.view_shard and len(jax.devices()) > 1:
+        from ..parallel.distributed import (
+            make_mesh,
+            make_view_sharded_encode,
+        )
+
+        _mesh = make_mesh("auto")
+        _vs_encode = make_view_sharded_encode(encoder, _mesh)
+        _n_dev = _mesh.devices.size
+
+        def sharded_encode(context, v_ctx):
+            # Exact only when the views divide the mesh (padding with
+            # duplicate views would perturb the PTF merge numerics);
+            # otherwise fall back to the single-program path.
+            if v_ctx % _n_dev == 0:
+                return _vs_encode(variables, context)
+            print(
+                f"[test] view_shard: {v_ctx} views not divisible by "
+                f"{_n_dev} devices — unsharded encode for this scene",
+                flush=True,
+            )
+            return encode(context)
+
     @jax.jit
     def encode(context):
         return encoder.apply(variables, context)
@@ -104,8 +128,13 @@ def run_test(
         v = target["image"].shape[1]
         test_fvs = int(target.get("test_fvs", 0) or 0)
 
+        v_ctx = context["image"].shape[1]
         with benchmarker.time("encoder"):
-            results = jax.block_until_ready(encode(context))
+            results = jax.block_until_ready(
+                sharded_encode(context, v_ctx)
+                if sharded_encode is not None
+                else encode(context)
+            )
 
         colors, depths = [], []
         with benchmarker.time("decoder", num_calls=v):

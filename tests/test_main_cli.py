@@ -70,6 +70,40 @@ def test_test_harness_synthetic(tmp_path):
     assert (out_dir / scene / "context" / "0000.png").exists()
 
 
+def test_test_harness_view_sharded(tmp_path):
+    """test.view_shard=true encodes an 8-view scene with the view axis
+    sharded over the 8-device CPU mesh, through the full harness."""
+    import numpy as np
+
+    from freesplat_tpu.config.config import load_config
+    from freesplat_tpu.data.synthetic import SyntheticCfg, synthetic_batches
+    from freesplat_tpu.evaluation.harness import run_test
+
+    cfg = load_config(
+        [
+            "dataset.name=synthetic",
+            "dataset.image_shape=[32,32]",
+            "dataset.num_context_views=8",
+            "encoder.num_depth_candidates=8",
+            "encoder.num_views=3",
+            "encoder.d_feature=16",
+            "encoder.matching_dim=8",
+            "encoder.adapter.sh_degree=1",
+            "encoder.train_bn=false",
+            "decoder.sh_degree=1",
+            "test.view_shard=true",
+            "test.save_depth=false",
+            f"test.output_path={tmp_path}/out",
+        ]
+    )
+    batches = synthetic_batches(
+        SyntheticCfg(image_shape=(32, 32), num_context=8, num_target=2)
+    )
+    summary = run_test(cfg, batches=batches, max_scenes=1)
+    assert np.isfinite(summary["psnr"])
+    assert summary["gs_ratio"] < 1.0  # PTF merged the 8 views
+
+
 def test_test_harness_fvs_split(tmp_path):
     """Replica-style FVS run through the harness: a suffixed test-scene key
     (room0_1 -> dir room0, reference dataset_replica.py:70-90) with frozen
