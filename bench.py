@@ -19,7 +19,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _device_alive(timeout_s: float = 150.0) -> bool:
+    """Probe the backend with a watchdog: a dead tunnel (e.g. the axon
+    relay daemon exiting) makes the first device op block FOREVER, which
+    would hang the whole benchmark run instead of reporting."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        ok.append(float(jnp.ones(8).sum()) == 8.0)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok and ok[0])
+
+
 def main() -> None:
+    if not _device_alive():
+        print(
+            "bench.py: device unreachable (tunnel down?) — reporting 0",
+            file=sys.stderr,
+            flush=True,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "rasterize_fwd_bwd",
+                    "value": 0.0,
+                    "unit": "rays/s/chip",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return
+
     from freesplat_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
