@@ -92,6 +92,16 @@ def validation_step(
             (np.clip(proj_grid, 0, 1) * 255).astype(np.uint8)
         ).save(out_dir / f"val_{step:0>7}_projections.png")
 
+        # Camera-frustum wireframes (reference render_cameras,
+        # validation_in_3d.py:92-121: context white, target red).
+        from ..utils.camera_viz import render_cameras
+
+        cams = render_cameras(batch, resolution=256)
+        cam_grid = hcat(*list(cams))
+        Image.fromarray(
+            (np.clip(cam_grid, 0, 1) * 255).astype(np.uint8)
+        ).save(out_dir / f"val_{step:0>7}_cameras.png")
+
     if save_video:
         # Trajectory videos, as the reference logs during validation
         # (model_wrapper.py:654-819: wobble + context interpolation).

@@ -67,6 +67,50 @@ def test_save_video(tmp_path):
     assert path.exists() and path.stat().st_size > 0
 
 
+def test_draw_cameras_and_render_cameras():
+    """Frustum wireframes land inside the image on all three axis planes
+    (reference drawing/cameras.py draw_cameras + render_cameras)."""
+    import numpy as np
+
+    from freesplat_tpu.utils.camera_viz import draw_cameras, render_cameras
+
+    b = 3
+    extr = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    extr[:, 0, 3] = np.linspace(0, 1, b)
+    intr = np.tile(
+        np.array([[1.1, 0, 0.5], [0, 1.1, 0.5], [0, 0, 1]], np.float32),
+        (b, 1, 1),
+    )
+    color = np.ones((b, 3), np.float32)
+    out = draw_cameras(
+        64, extr, intr, color,
+        near=np.full(b, 0.5, np.float32), far=np.full(b, 5.0, np.float32),
+    )
+    assert out.shape[0] == 3 and out.shape[-1] == 3
+    for i in range(3):
+        assert out[i].max() > 0.2  # something was drawn on every plane
+
+    batch = {
+        "context": {
+            "extrinsics": extr[None, :2],
+            "intrinsics": intr[None, :2],
+            "near": np.full((1, 2), 0.5, np.float32),
+            "far": np.full((1, 2), 5.0, np.float32),
+        },
+        "target": {
+            "extrinsics": extr[None, 2:],
+            "intrinsics": intr[None, 2:],
+            "near": np.full((1, 1), 0.5, np.float32),
+            "far": np.full((1, 1), 5.0, np.float32),
+        },
+    }
+    cams = render_cameras(batch, resolution=64)
+    assert cams.shape[0] == 3
+    # Targets are red: some pixels have R >> G/B.
+    reds = (cams[..., 0] > 0.8) & (cams[..., 1] < 0.3)
+    assert reds.any()
+
+
 def test_wobble_stays_near_origin():
     extr = jnp.eye(4)
     t = jnp.linspace(0, 1, 8)
