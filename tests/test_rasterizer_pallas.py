@@ -34,6 +34,65 @@ def make_scene(n=150, seed=0, z_range=(1.0, 8.0), spread=2.0):
     return means, cov, harm, opac, extr, intr
 
 
+def test_forward_fuzz_degenerate_scenes():
+    """Seeded fuzz over stressing regimes: grazing depths near the z
+    cull, extreme anisotropy, near-opaque walls, tiny scenes — forward
+    parity with the golden model must hold in all of them."""
+    bg = jnp.array([0.3, 0.1, 0.6])
+    regimes = [
+        dict(n=40, seed=11, z_range=(0.21, 0.5), spread=0.5),  # near cull
+        dict(n=60, seed=12, z_range=(1.0, 1.05), spread=3.0),  # depth ties
+        dict(n=5, seed=13, z_range=(2.0, 3.0), spread=0.1),    # tiny overlap
+        dict(n=200, seed=14, z_range=(0.5, 40.0), spread=6.0), # huge range
+    ]
+    for kw in regimes:
+        means, cov, harm, opac, extr, intr = make_scene(**kw)
+        if kw["seed"] == 12:
+            # Near-opaque overlapping wall: exercises early termination.
+            opac = jnp.full_like(opac, 0.98)
+        ref = render_reference(means, cov, harm, opac, extr, intr, (H, W), bg, 1)
+        *pal, stats = rasterize(
+            means, cov, harm, opac, extr, intr, (H, W), bg, 1,
+            capacity=64 * means.shape[0], return_stats=True,
+        )
+        assert int(stats["dropped"]) == 0, kw  # capacity sized for parity
+        for name, a, b in zip("color depth alpha".split(), pal, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5,
+                err_msg=f"{kw} {name}",
+            )
+
+
+def test_anisotropic_gaussians_match():
+    """Extreme elongated covariances (100:1 axis ratio) stress the EWA
+    projection, radius estimate, and tile binning equally in both paths."""
+    rng = np.random.default_rng(21)
+    n = 50
+    means = jnp.asarray(
+        rng.uniform([-2, -2, 2.0], [2, 2, 6.0], size=(n, 3)), jnp.float32
+    )
+    scales = np.full((n, 3), 0.005, np.float32)
+    scales[:, 0] = 0.5  # 100:1 needles
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    cov = build_covariance(jnp.asarray(scales), jnp.asarray(quats, jnp.float32))
+    harm = jnp.asarray(rng.normal(size=(n, 3, 4)) * 0.4, jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 1.0, size=n), jnp.float32)
+    extr = jnp.eye(4, dtype=jnp.float32)
+    intr = jnp.array([[1.1, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], jnp.float32)
+    bg = jnp.zeros(3)
+    ref = render_reference(means, cov, harm, opac, extr, intr, (H, W), bg, 1)
+    *pal, stats = rasterize(
+        means, cov, harm, opac, extr, intr, (H, W), bg, 1,
+        capacity=64 * n, return_stats=True,
+    )
+    assert int(stats["dropped"]) == 0  # needles span many tiles
+    for name, a, b in zip("color depth alpha".split(), pal, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, err_msg=name
+        )
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_forward_matches_reference(seed):
     means, cov, harm, opac, extr, intr = make_scene(seed=seed)

@@ -67,6 +67,26 @@ def test_save_video(tmp_path):
     assert path.exists() and path.stat().st_size > 0
 
 
+def test_profiling_helpers(tmp_path):
+    """trace() is a usable context (no-op when disabled; on CPU it writes
+    a profile dir) and annotate() nests inside jitted regions."""
+    import os
+
+    from freesplat_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path / "t"), enabled=False):
+        pass  # disabled: nothing written
+    assert not (tmp_path / "t").exists()
+
+    import jax.numpy as jnp
+
+    with trace(str(tmp_path / "t2")):
+        with annotate("smoke"):
+            float(jnp.ones(4).sum())
+    assert (tmp_path / "t2").exists()
+    assert any(os.scandir(tmp_path / "t2"))
+
+
 def test_draw_cameras_and_render_cameras():
     """Frustum wireframes land inside the image on all three axis planes
     (reference drawing/cameras.py draw_cameras + render_cameras)."""
