@@ -146,12 +146,9 @@ class DataModule:
         each process must stream a DISJOINT partition of the data or
         "data parallelism" silently trains every host on the same
         batches (gradients identical to single-host at N-host cost)."""
-        try:
-            import jax
+        from ..parallel.distributed import process_rank
 
-            return jax.process_index(), jax.process_count()
-        except Exception:
-            return 0, 1
+        return process_rank()
 
     def _stream(self, dataset, *, shuffle: bool, loop: bool) -> Iterator[dict]:
         rank, world = self._process_rank()

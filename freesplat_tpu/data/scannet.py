@@ -174,12 +174,9 @@ def data_loader(
     passed through to curriculum view samplers (replaces the reference's
     shared-memory StepTracker; sampling happens in the host process).
     Multi-host: each process draws a disjoint strided partition."""
-    try:
-        import jax
+    from ..parallel.distributed import process_rank
 
-        rank, world = jax.process_index(), jax.process_count()
-    except Exception:
-        rank, world = 0, 1
+    rank, world = process_rank()
     rng = np.random.default_rng(seed)
     while True:
         order = rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))

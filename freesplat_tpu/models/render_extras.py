@@ -87,13 +87,14 @@ def render_projections(
     (``visualization/validation_in_3d.py:25-89``: equal AABB + margin,
     camera looking down each axis, fov_degrees=10).  Returns
     (3, resolution, resolution, 3)."""
-    means = gaussians.means
-    minima = means.min(axis=0)
-    maxima = means.max(axis=0)
-    center = 0.5 * (minima + maxima)
-    half = jnp.max(0.5 * (maxima - minima)) * (1.0 + margin)
-    scene_min = center - half
-    scene_max = center + half
+    from ..utils.camera_viz import compute_equal_aabb_with_margin
+    import numpy as np
+
+    means = np.asarray(gaussians.means)
+    scene_min, scene_max = compute_equal_aabb_with_margin(
+        means.min(axis=0), means.max(axis=0), margin
+    )
+    center = 0.5 * (scene_min + scene_max)
 
     views = []
     for look_axis in range(3):

@@ -100,6 +100,17 @@ def maybe_initialize_distributed() -> bool:
     return True
 
 
+def process_rank() -> tuple[int, int]:
+    """(process_index, process_count), robust to jax being unimportable
+    or uninitialized (host-side data code calls this)."""
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
 def make_mesh(num_devices: int | str = "auto"):
     """1-D ``("data",)`` mesh over the first ``num_devices`` devices.
 
@@ -197,12 +208,12 @@ def pad_views(context: dict, multiple: int) -> tuple[dict, int]:
     if pad == 0:
         return context, v
 
+    import jax.numpy as jnp
+
     def pad_arr(x):
         x = np.asarray(x) if not hasattr(x, "ndim") else x
         if getattr(x, "ndim", 0) >= 2 and x.shape[1] == v:
             reps = [x[:, -1:]] * pad
-            import jax.numpy as jnp
-
             return jnp.concatenate([jnp.asarray(x), *reps], axis=1)
         return x
 
