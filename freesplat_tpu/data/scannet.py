@@ -91,11 +91,27 @@ class DatasetScannet:
             ]
         )
 
-    def _load_depth(self, path: Path, idx: int) -> np.ndarray:
-        img = Image.open(path / "depth" / f"{idx}.png")
+    def _load_depths(self, path: Path, indices) -> np.ndarray:
+        """Batched depth load (mm -> meters); native threaded PNG+bicubic
+        decoder when available, PIL otherwise."""
         h, w = self.cfg.load_size
-        img = img.resize((w, h))
-        return np.asarray(img).astype(np.float32) / 1000.0
+        paths = [path / "depth" / f"{int(i)}.png" for i in indices]
+        try:
+            from .. import native
+
+            if native.available():
+                return native.load_depth_batch(
+                    [str(p) for p in paths], h, w
+                ) / 1000.0
+        except Exception:
+            pass
+        return np.stack(
+            [
+                np.asarray(Image.open(p).resize((w, h))).astype(np.float32)
+                / 1000.0
+                for p in paths
+            ]
+        )
 
     def __getitem__(self, idx: int) -> dict:
         path = self.scenes[idx]
@@ -132,9 +148,7 @@ class DatasetScannet:
                 "index": np.asarray(indices, np.int64),
             }
             if self.cfg.load_depth:
-                views["depth"] = np.stack(
-                    [self._load_depth(path, int(i)) for i in indices]
-                )
+                views["depth"] = self._load_depths(path, indices)
             return views
 
         example = {

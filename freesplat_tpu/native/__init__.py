@@ -23,7 +23,7 @@ _build_error: str | None = None
 def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_SO), "-ljpeg", "-pthread",
+        str(_SRC), "-o", str(_SO), "-ljpeg", "-lpng", "-pthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -38,6 +38,11 @@ def _load():
         lib = ctypes.CDLL(str(_SO))
         lib.fs_load_batch.restype = ctypes.c_int
         lib.fs_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.fs_load_depth_batch.restype = ctypes.c_int
+        lib.fs_load_depth_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ]
@@ -68,4 +73,24 @@ def load_jpeg_batch(
     )
     if rc != 0:
         raise RuntimeError(f"native loader failed on one of {n} files")
+    return out
+
+
+def load_depth_batch(
+    paths: list[str], out_h: int, out_w: int
+) -> np.ndarray:
+    """Decode + PIL-BICUBIC-resize grayscale depth PNGs in parallel ->
+    (n, h, w) f32 in RAW sample units (e.g. ScanNet millimeters)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_build_error}")
+    n = len(paths)
+    out = np.empty((n, out_h, out_w), np.float32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    rc = lib.fs_load_depth_batch(
+        arr, n, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native depth loader failed on one of {n} files")
     return out

@@ -17,6 +17,7 @@
 #include <cstddef>
 #include <cstdio>
 #include <jpeglib.h>
+#include <png.h>
 
 #include <algorithm>
 #include <atomic>
@@ -72,6 +73,56 @@ std::vector<unsigned char> decode_jpeg(const char* path, int* w, int* h) {
   return out;
 }
 
+// Decode an 8/16-bit grayscale PNG to float (raw sample values).
+std::vector<float> decode_png_gray(const char* path, int* w, int* h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return {};
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    fclose(f);
+    return {};
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  const int color = png_get_color_type(png, info);
+  const int depth = png_get_bit_depth(png, info);
+  if (color != PNG_COLOR_TYPE_GRAY || (depth != 8 && depth != 16)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return {};  // caller falls back to PIL
+  }
+  *w = png_get_image_width(png, info);
+  *h = png_get_image_height(png, info);
+  const size_t stride = png_get_rowbytes(png, info);
+  std::vector<unsigned char> raw(static_cast<size_t>(*h) * stride);
+  std::vector<png_bytep> rows(*h);
+  for (int y = 0; y < *h; ++y) rows[y] = raw.data() + y * stride;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  std::vector<float> out(static_cast<size_t>(*w) * *h);
+  if (depth == 8) {
+    for (size_t i = 0; i < out.size(); ++i) out[i] = raw[i];
+  } else {  // 16-bit PNG samples are big-endian
+    for (size_t i = 0; i < out.size(); ++i)
+      out[i] = static_cast<float>((raw[2 * i] << 8) | raw[2 * i + 1]);
+  }
+  return out;
+}
+
+// PIL's BICUBIC filter (a = -0.5, support 2) — the default for
+// Image.resize, which the PIL depth path uses.
+double bicubic(double x) {
+  constexpr double a = -0.5;
+  x = std::abs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
 double lanczos3(double x) {
   if (x <= -3.0 || x >= 3.0) return 0.0;
   if (x == 0.0) return 1.0;
@@ -86,10 +137,12 @@ struct ResampleKernels {
   std::vector<double> coeffs;  // (out, ksize)
 };
 
-ResampleKernels build_kernels(int in_size, int out_size) {
+ResampleKernels build_kernels(int in_size, int out_size,
+                              double (*filter)(double) = lanczos3,
+                              double base_support = 3.0) {
   const double scale = static_cast<double>(in_size) / out_size;
   const double filterscale = std::max(scale, 1.0);
-  const double support = 3.0 * filterscale;
+  const double support = base_support * filterscale;
   const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
   ResampleKernels rk;
   rk.ksize = ksize;
@@ -105,7 +158,7 @@ ResampleKernels build_kernels(int in_size, int out_size) {
     double* k = rk.coeffs.data() + static_cast<size_t>(xx) * ksize;
     double ww = 0.0;
     for (int x = 0; x < xmax; ++x) {
-      const double wgt = lanczos3((x + xmin - center + 0.5) / filterscale);
+      const double wgt = filter((x + xmin - center + 0.5) / filterscale);
       k[x] = wgt;
       ww += wgt;
     }
@@ -160,6 +213,39 @@ void resize_lanczos(const unsigned char* src, int sh, int sw, float* dst,
   }
 }
 
+// Separable single-channel float resample with PIL BICUBIC (no clamp —
+// raw depth units).
+void resize_bicubic_1ch(const float* src, int sh, int sw, float* dst,
+                        int dh, int dw) {
+  const ResampleKernels kx = build_kernels(sw, dw, bicubic, 2.0);
+  const ResampleKernels ky = build_kernels(sh, dh, bicubic, 2.0);
+  std::vector<double> tmp(static_cast<size_t>(sh) * dw);
+  for (int y = 0; y < sh; ++y) {
+    const float* row = src + static_cast<size_t>(y) * sw;
+    double* trow = tmp.data() + static_cast<size_t>(y) * dw;
+    for (int x = 0; x < dw; ++x) {
+      const int xmin = kx.bounds[2 * x];
+      const int xmax = kx.bounds[2 * x + 1];
+      const double* k = kx.coeffs.data() + static_cast<size_t>(x) * kx.ksize;
+      double acc = 0.0;
+      for (int i = 0; i < xmax; ++i) acc += row[xmin + i] * k[i];
+      trow[x] = acc;
+    }
+  }
+  for (int y = 0; y < dh; ++y) {
+    const int ymin = ky.bounds[2 * y];
+    const int ymax = ky.bounds[2 * y + 1];
+    const double* k = ky.coeffs.data() + static_cast<size_t>(y) * ky.ksize;
+    float* drow = dst + static_cast<size_t>(y) * dw;
+    for (int x = 0; x < dw; ++x) {
+      double acc = 0.0;
+      for (int i = 0; i < ymax; ++i)
+        acc += tmp[static_cast<size_t>(ymin + i) * dw + x] * k[i];
+      drow[x] = static_cast<float>(acc);
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -191,6 +277,36 @@ int fs_load_batch(const char** paths, int n, int out_h, int out_w,
       resize_lanczos(rgb.data(), h, w,
                      out + static_cast<size_t>(i) * out_h * out_w * 3,
                      out_h, out_w);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
+}
+
+// Decode + resize a batch of grayscale depth PNGs in parallel.
+// out: float32 (n, out_h, out_w) in RAW sample units (e.g. millimeters).
+int fs_load_depth_batch(const char** paths, int n, int out_h, int out_w,
+                        float* out) {
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  const int n_threads =
+      std::max(1u, std::min<unsigned>(std::thread::hardware_concurrency(),
+                                      static_cast<unsigned>(n)));
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      int w = 0, h = 0;
+      auto gray = decode_png_gray(paths[i], &w, &h);
+      if (gray.empty()) {
+        failed.store(1);
+        continue;
+      }
+      resize_bicubic_1ch(gray.data(), h, w,
+                         out + static_cast<size_t>(i) * out_h * out_w,
+                         out_h, out_w);
     }
   };
   std::vector<std::thread> threads;
