@@ -41,6 +41,35 @@ def test_pairings_sliding_window():
     assert hits >= 12
 
 
+def test_epipolar_visualization():
+    """The legacy encoder-visualizer analog draws the casting pixel and
+    the paired view's epipolar segment into one labeled strip."""
+    rng = np.random.default_rng(0)
+    h = w = 16
+    v = 2
+    images = jnp.asarray(rng.uniform(size=(1, v, h, w, 3)), jnp.float32)
+    intr = jnp.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], jnp.float32)
+    intrinsics = jnp.broadcast_to(intr, (1, v, 3, 3))
+    extrinsics = jnp.stack(
+        [jnp.eye(4), jnp.eye(4).at[0, 3].set(0.3)], axis=0
+    ).astype(jnp.float32)[None]
+    sampler = EpipolarSampler(num_views=v, num_samples=6)
+    out = sampler(
+        images, extrinsics, intrinsics,
+        jnp.full((1, v), 0.5), jnp.full((1, v), 10.0),
+    )
+
+    from freesplat_tpu.utils.epipolar_viz import visualize_epipolar_sampling
+
+    strip = visualize_epipolar_sampling(np.asarray(images[0]), out)
+    assert strip.ndim == 3 and strip.shape[-1] == 3
+    assert strip.shape[1] > 2 * w  # two labeled panels side by side
+    assert np.isfinite(strip).all()
+    # The red casting dot exists in the left panel.
+    reds = (strip[..., 0] > 0.9) & (strip[..., 1] < 0.2) & (strip[..., 2] < 0.2)
+    assert reds.any()
+
+
 def test_epipolar_sampler_translated_pair():
     """Pure x-translation: epipolar lines are horizontal -> samples keep
     the casting ray's y row, and features come from that row."""
