@@ -9,28 +9,22 @@ Run: ``python -m freesplat_tpu.scripts.bench_suite [raster] [encoder]
 [train2] [train3]`` (no args = raster only; each benchmark compiles its
 own graphs — expect minutes on first run, cached afterwards).
 
-All timings are pipelined (async chain, single block) per
+All timings use the honest device_get fence (utils/timing.bench) —
+``block_until_ready`` does not reliably block on the axon tunnel; see
 docs/PERFORMANCE.md methodology.
 """
 from __future__ import annotations
 
 import json
 import sys
-import time
 
 import numpy as np
 
 
 def _pipelined(fn, *args, reps: int = 8) -> float:
-    import jax
+    from ..utils.timing import bench
 
-    jax.block_until_ready(fn(*args))
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps
+    return bench(fn, [args], n=reps)
 
 
 def _emit(metric: str, value: float, unit: str) -> None:
@@ -157,6 +151,45 @@ def bench_train(views: int) -> None:
     _emit(f"train_step_{views}view", dt * 1e3, "ms/step")
 
 
+def bench_ptf(views: int = 2) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.networks import GRU, positional_encoding
+    from ..models.ptf import fuse_views
+
+    h, w = 384, 512
+    hw = h * w
+    c = 64
+    rng = np.random.default_rng(0)
+    gru = GRU(hidden_channel=c)
+    zf = jnp.zeros((1, c))
+    ze = positional_encoding(jnp.zeros((1, 2)), 6)
+    gvs = gru.init(jax.random.PRNGKey(0), zf, zf, ze, ze)
+    gru_apply = lambda i, hh, ie, he: gru.apply(gvs, i, hh, ie, he)
+    extr = np.tile(np.eye(4, dtype=np.float32), (views, 1, 1))
+    extr[:, 0, 3] = 0.2 * np.arange(views)
+    intr = np.tile(
+        np.array([[1.07, 0, 0.5], [0, 1.42, 0.5], [0, 0, 1]], np.float32),
+        (views, 1, 1),
+    )
+    args = (
+        jnp.asarray(rng.standard_normal((views, hw, c)), jnp.float32),
+        jnp.asarray(rng.uniform(-2, 2, (views, hw, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (views, hw, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, (views, hw, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(1, 10, (views, hw)), jnp.float32),
+    )
+    f = jax.jit(
+        lambda ft, co, de, wt, dp: fuse_views(
+            ft, co, de, wt, dp, jnp.asarray(extr), jnp.asarray(intr),
+            (h, w), gru_apply,
+        ).feat
+    )
+    dt = _pipelined(f, *args, reps=4)
+    _emit(f"ptf_fwd_{views}view", dt * 1e3, "ms")
+
+
 def main() -> None:
     from ..utils.cache import enable_compilation_cache
 
@@ -166,6 +199,8 @@ def main() -> None:
         bench_raster()
     if "encoder" in which:
         bench_encoder()
+    if "ptf" in which:
+        bench_ptf(2)
     if "train2" in which:
         bench_train(2)
     if "train3" in which:
