@@ -49,6 +49,9 @@ class EncoderFreeSplatCfg:
     adapter: GaussianAdapterCfg = field(default_factory=GaussianAdapterCfg)
     train_bn: bool = True  # reference forces BN train mode every forward
     compute_dtype: str = "float32"  # "bfloat16" halves conv time on MXU
+    # Apply-time switch: return per-view trunk outputs without the PTF
+    # fuse / Gaussian head (explicit sharded-pipeline composition point).
+    trunk_only: bool = False
 
 
 @dataclass
@@ -274,6 +277,24 @@ class EncoderFreeSplat(nn.Module):
         wt_v = weights.reshape(b, v, hw, 1)
         depth_v = depths.reshape(b, v, hw)
         coords_v = means.reshape(b, v, hw, 3)
+
+        if cfg.trunk_only:
+            # Per-view ingredients WITHOUT the PTF fuse + Gaussian head —
+            # the composition point for explicitly sharded whole-scene
+            # pipelines (parallel/whole_scene.py: view-sharded trunk ->
+            # fuse_views_sharded -> head).  Init with the FULL config so
+            # the fuse parameters exist; apply-time trunk_only simply
+            # never references them.
+            return {
+                "feat_v": feat_v,
+                "coords_v": coords_v,
+                "dens_v": dens_v,
+                "wt_v": wt_v,
+                "depth_v": depth_v,
+                "depth_s-1": depths.reshape(b, v, h, w),
+                "densities": densities.reshape(b, v, h, w),
+                "depth_weights": weights.reshape(b, v, h, w),
+            }
 
         # PTF fusion + Gaussian head, vmapped over batch (shared params).
         fuse = nn.vmap(

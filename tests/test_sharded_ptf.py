@@ -75,6 +75,48 @@ def test_sharded_ptf_matches_reference():
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
+def test_whole_scene_pipeline_matches_encoder():
+    """Explicit pipeline (view-sharded trunk -> sharded PTF -> head) vs
+    the plain full encoder, compared at render level (trunk numerics
+    shift ~1e-6 under sharding, which PTF winner selection can amplify
+    on tie-heavy slots)."""
+    from freesplat_tpu.models.adapter import GaussianAdapterCfg
+    from freesplat_tpu.models.decoder import DecoderCfg, render_views
+    from freesplat_tpu.models.encoder import EncoderFreeSplat, EncoderFreeSplatCfg
+    from freesplat_tpu.parallel.distributed import make_mesh
+    from freesplat_tpu.parallel.whole_scene import encode_whole_scene
+    from freesplat_tpu.training.metrics import compute_psnr
+    from tests.test_model import make_context
+
+    cfg = EncoderFreeSplatCfg(
+        num_depth_candidates=8, num_views=3, d_feature=16, matching_dim=8,
+        adapter=GaussianAdapterCfg(sh_degree=1), train_bn=False,
+    )
+    encoder = EncoderFreeSplat(cfg)
+    ctx = make_context(v=8, h=32, w=32)
+    variables = encoder.init(jax.random.PRNGKey(0), ctx)
+    ref = encoder.apply(variables, ctx)
+
+    mesh = make_mesh(8)
+    out = encode_whole_scene(encoder, variables, ctx, mesh)
+    assert out["gaussians"].means.shape == ref["gaussians"].means.shape
+    np.testing.assert_allclose(
+        np.asarray(ref["depth_s-1"]), np.asarray(out["depth_s-1"]), atol=1e-4
+    )
+
+    dec = DecoderCfg(sh_degree=1, use_reference_rasterizer=True)
+
+    def render(res):
+        return np.asarray(render_views(
+            dec, jax.tree_util.tree_map(jnp.asarray, res["gaussians"]),
+            ctx["extrinsics"][:, :2], ctx["intrinsics"][:, :2],
+            ctx["near"][:, :2], ctx["far"][:, :2], (32, 32),
+        ).color)
+
+    psnr = float(np.mean(np.asarray(compute_psnr(render(ref), render(out)))))
+    assert psnr > 35.0, f"pipeline-vs-encoder render PSNR {psnr:.1f}"
+
+
 def test_sharded_ptf_two_views_per_device():
     """v = 2 * devices exercises non-owner iterations and block offsets."""
     feats, coords, dens, wts, depths, extr, intr, shape = make_inputs(
