@@ -96,3 +96,62 @@ def encode_whole_scene(
         "densities": t["densities"],
         "depth_weights": t["depth_weights"],
     }
+
+
+def render_whole_scene(
+    dec_cfg,
+    gaussians: Gaussians,  # unbatched (g, ...) or batched with b=1
+    extrinsics: jnp.ndarray,  # (v, 4, 4)
+    intrinsics: jnp.ndarray,  # (v, 3, 3)
+    near: jnp.ndarray,  # (v,)
+    far: jnp.ndarray,  # (v,)
+    image_shape: tuple[int, int],
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """Render target views with the Gaussian set sharded over the mesh
+    (``sharded_render``: screen-param all-gather + per-device tile-column
+    slabs).  Matches ``models.decoder.render_view`` semantics (1/near
+    scale-invariant rescale, background color, masked opacities).
+    Returns (color (v, h, w, 3), depth (v, h, w), alpha (v, h, w))."""
+    from ..parallel.sharded_render import rasterize_sharded
+
+    if gaussians.means.ndim == 3:  # batched b=1
+        gaussians = jax.tree_util.tree_map(lambda x: x[0], gaussians)
+    shard = NamedSharding(mesh, P(axis))
+    means = jax.device_put(gaussians.means, shard)
+    covs = jax.device_put(gaussians.covariances, shard)
+    harm = jax.device_put(gaussians.harmonics, shard)
+    opac = jax.device_put(gaussians.masked_opacities(), shard)
+    background = jnp.asarray(dec_cfg.background_color, jnp.float32)
+    render_mesh = Mesh(mesh.devices, ("shard",))
+
+    colors, depth_accs, alphas = [], [], []
+    for vi in range(extrinsics.shape[0]):
+        e, k = extrinsics[vi], intrinsics[vi]
+        m, c = means, covs
+        if dec_cfg.scale_invariant:
+            s = 1.0 / near[vi]
+            e = e.at[:3, 3].multiply(s)
+            m = m * s
+            c = c * (s * s)
+        color, depth_acc, alpha = rasterize_sharded(
+            m, c, harm, opac, e, k, image_shape, background,
+            dec_cfg.sh_degree, mesh=render_mesh,
+            capacity=dec_cfg.capacity_factor * means.shape[0],
+        )
+        if dec_cfg.scale_invariant:
+            depth_acc = depth_acc * near[vi]
+        colors.append(color)
+        depth_accs.append(depth_acc)
+        alphas.append(alpha)
+    color = jnp.stack(colors)
+    depth_acc = jnp.stack(depth_accs)
+    alpha = jnp.stack(alphas)
+    if dec_cfg.depth_mode == "ref_compat":
+        depth = depth_acc / 2.0
+    elif dec_cfg.depth_mode == "depth":
+        depth = depth_acc / jnp.maximum(alpha, 1e-6)
+    else:
+        depth = depth_acc
+    return color, depth, alpha

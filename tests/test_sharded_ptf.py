@@ -116,6 +116,30 @@ def test_whole_scene_pipeline_matches_encoder():
     psnr = float(np.mean(np.asarray(compute_psnr(render(ref), render(out)))))
     assert psnr > 35.0, f"pipeline-vs-encoder render PSNR {psnr:.1f}"
 
+    # Sharded rendering of the same set (Gaussian shards x tile slabs;
+    # tile columns must divide the mesh -> 16 columns / 8 devices).
+    from freesplat_tpu.models.decoder import render_view
+    from freesplat_tpu.parallel.whole_scene import render_whole_scene
+
+    dec_p = DecoderCfg(sh_degree=1)
+    shape = (32, 256)
+    color_sh, depth_sh, alpha_sh = render_whole_scene(
+        dec_p, out["gaussians"], ctx["extrinsics"][0, :2],
+        ctx["intrinsics"][0, :2], ctx["near"][0, :2], ctx["far"][0, :2],
+        shape, mesh,
+    )
+    g0 = jax.tree_util.tree_map(lambda x: x[0], out["gaussians"])
+    c_ref, d_ref, a_ref, _ = render_view(
+        dec_p, g0, ctx["extrinsics"][0, 0], ctx["intrinsics"][0, 0],
+        ctx["near"][0, 0], ctx["far"][0, 0], shape,
+    )
+    np.testing.assert_allclose(
+        np.asarray(color_sh[0]), np.asarray(c_ref), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha_sh[0]), np.asarray(a_ref), atol=5e-5
+    )
+
 
 def test_sharded_ptf_two_views_per_device():
     """v = 2 * devices exercises non-owner iterations and block offsets."""
