@@ -112,6 +112,38 @@ def test_mesh_size_one_is_plain_single_chip(setup):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_train_step_with_lpips(setup):
+    """The LPIPS term flows through the jitted train step: loss gains an
+    lpips part and its gradient reaches the encoder parameters."""
+    import jax.numpy as jnp
+
+    from freesplat_tpu.training.lpips import LPIPS
+
+    cfg, state0 = setup
+    img = jnp.zeros((1, 32, 32, 3))
+    lpips_params = LPIPS().init(jax.random.PRNGKey(1), img, img)
+    step = make_train_step(cfg, lpips_params=lpips_params)
+    batch = make_batch(1, seed=7)
+    s1, m1 = step(state0, jax.tree_util.tree_map(jnp.asarray, batch))
+    assert "loss_lpips" in m1 and np.isfinite(float(m1["loss_lpips"]))
+    # Untrained LPIPS heads are unconstrained in sign; the term just has
+    # to be nonzero and included in the total.
+    assert float(m1["loss_lpips"]) != 0.0
+    np.testing.assert_allclose(
+        float(m1["loss"]),
+        float(m1["loss_mse"]) + float(m1["loss_lpips"]),
+        rtol=1e-5,
+    )
+
+    # Params moved differently than the MSE-only step (the LPIPS gradient
+    # is nonzero through the render).
+    step_mse = make_train_step(cfg)
+    s2, _ = step_mse(state0, jax.tree_util.tree_map(jnp.asarray, batch))
+    a = jax.tree_util.tree_leaves(s1["params"])[0]
+    b = jax.tree_util.tree_leaves(s2["params"])[0]
+    assert float(jnp.abs(a - b).max()) > 0
+
+
 def test_view_sharded_encode_matches_single_device():
     """Whole-scene view parallelism (SURVEY §2.5): the encoder jitted with
     the VIEW axis sharded over 8 devices must produce the single-device
