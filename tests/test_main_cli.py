@@ -192,6 +192,28 @@ def test_test_harness_fvs_split(tmp_path):
     assert (out_dir / "room0_1" / "extrapolation" / "0003.png").exists()
 
 
+def test_overfit_proof_pipeline(tmp_path):
+    """The quality-proof script end to end at smoke scale: train through
+    the CLI, checkpoint, evaluate the checkpoint through the harness,
+    and print the stats summary."""
+    from freesplat_tpu.scripts.overfit_proof import main as proof
+
+    proof(
+        [
+            "--steps", "6",
+            "--out", str(tmp_path / "proof"),
+            "--image-shape", "32,64",
+            "--val-every", "5",
+        ]
+    )
+    stats = json.loads(
+        (tmp_path / "proof" / "test" / "stats.json").read_text()
+    )
+    assert len(stats["per_scene"]) == 1
+    assert np.isfinite(stats["summary"]["psnr"])
+    assert (tmp_path / "proof" / "ckpt" / "step_5").exists()
+
+
 def test_videoize_index(tmp_path):
     import json
 
