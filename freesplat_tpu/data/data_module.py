@@ -64,7 +64,6 @@ class ValidationWrapper:
                         raise RuntimeError(
                             "validation dataset yields no examples"
                         ) from None
-            return
         while True:
             idx = int(self.rng.integers(len(self.dataset)))
             yield self.dataset[idx]
