@@ -25,7 +25,7 @@ class LossLpipsCfg:
     weight: float = 0.05
     apply_after_step: int = 0
     # Path to converted LPIPS-VGG parameters (.npz from
-    # scripts/convert_lpips.py, or a torch ``lpips`` state dict readable
+    # scripts/convert_weights.py, or a torch ``lpips`` state dict readable
     # by utils/torch_convert.convert_lpips_vgg).  None disables the LPIPS
     # term (this image ships no pretrained VGG weights; the reference
     # hard-downloads them via the ``lpips`` package, loss_lpips.py:33).

@@ -119,6 +119,52 @@ def fake_lpips_state_dict(seed: int = 1) -> dict:
     return sd
 
 
+def test_convert_weights_cli_roundtrip(tmp_path):
+    """The conversion CLI: torch .pth -> keypath .npz for both weight
+    kinds, and the backbone graft produces a working encoder forward."""
+    import torch
+
+    from freesplat_tpu.scripts.convert_weights import (
+        load_backbone_npz,
+        load_tree_npz,
+        main as convert,
+    )
+
+    # LPIPS leg.
+    sd = fake_lpips_state_dict()
+    pth = tmp_path / "lpips.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, pth)
+    convert(["lpips", str(pth), str(tmp_path / "lpips.npz")])
+    tree = load_tree_npz(str(tmp_path / "lpips.npz"))
+    assert "params" in tree and "vgg" in tree["params"]
+
+    # Backbone leg: fake timm state dict -> npz -> graft -> forward.
+    rng = np.random.default_rng(0)
+    bsd = fake_effnet_state_dict(rng)
+    bpth = tmp_path / "effnet.pth"
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in bsd.items()}, bpth
+    )
+    convert(["backbone", str(bpth), str(tmp_path / "effnet.npz")])
+
+    from freesplat_tpu.models.adapter import GaussianAdapterCfg
+    from freesplat_tpu.models.encoder import EncoderFreeSplat, EncoderFreeSplatCfg
+    from tests.test_model import make_context
+
+    cfg = EncoderFreeSplatCfg(
+        d_feature=16, num_depth_candidates=8, matching_dim=8,
+        adapter=GaussianAdapterCfg(sh_degree=1), train_bn=False,
+    )
+    enc = EncoderFreeSplat(cfg)
+    ctx = make_context(h=32, w=32)
+    variables = enc.init(jax.random.PRNGKey(0), ctx)
+    grafted = load_backbone_npz(variables, str(tmp_path / "effnet.npz"))
+    before = enc.apply(variables, ctx)["depth_s-1"]
+    after = enc.apply(grafted, ctx)["depth_s-1"]
+    assert np.isfinite(np.asarray(after)).all()
+    assert float(np.abs(np.asarray(after) - np.asarray(before)).max()) > 0
+
+
 def test_lpips_conversion_loads_and_runs():
     rng = np.random.default_rng(1)
     sd = fake_lpips_state_dict()
