@@ -3,6 +3,12 @@ anywhere (the TPU-native substitute for multi-chip testing, per SURVEY §4e).
 Must run before jax is imported anywhere."""
 import os
 
+# torch.jit must be disabled BEFORE torch is first imported anywhere in
+# the test process: the reference-parity tests import /root/reference
+# modules whose @torch.jit.script functions reference stubbed deps
+# (kornia), which only works when scripting is a no-op.
+os.environ.setdefault("PYTORCH_JIT", "0")
+
 # Force CPU: the session env may point JAX at a (single, tunneled) TPU, but
 # the unit/sharding tests are designed for a virtual 8-device CPU mesh.
 # Set FREESPLAT_TEST_TPU=1 to run the suite on real hardware instead.

@@ -1,0 +1,336 @@
+"""Golden parity vs the ACTUAL reference torch modules.
+
+Loads ``/root/reference``'s network definitions (torch, CPU — heavy deps
+like torchvision/kornia/timm stubbed out; PYTORCH_JIT disabled so
+@torch.jit.script decorators become no-ops), copies OUR flax parameters
+into them, and compares forward outputs on identical inputs.  This is
+the strongest in-image parity evidence: the reference code itself is the
+oracle, not a re-derivation of it.
+"""
+import os
+import sys
+import types
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_nets():
+    os.environ["PYTORCH_JIT"] = "0"
+    for name in [
+        "torchvision", "torchvision.transforms",
+        "torchvision.transforms.functional", "kornia", "kornia.filters",
+        "antialiased_cnns", "timm",
+    ]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    sys.modules["torchvision"].models = types.SimpleNamespace()
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"
+    ]
+    sys.modules["torchvision.transforms"].functional = sys.modules[
+        "torchvision.transforms.functional"
+    ]
+    sys.modules["kornia"].filters = sys.modules["kornia.filters"]
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    pkg = types.ModuleType("refmods")
+    pkg.__path__ = [f"{REF}/src/model/encoder/modules"]
+    sys.modules.setdefault("refmods", pkg)
+    return importlib.import_module("refmods.networks")
+
+
+@pytest.fixture(scope="module")
+def ref_geometry():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_projection", f"{REF}/src/geometry/projection.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_geometry_matches_reference(ref_geometry):
+    import torch
+
+    from freesplat_tpu.geometry import projection as ours
+
+    rng = np.random.default_rng(5)
+    pts = rng.standard_normal((7, 3)).astype(np.float32)
+    intr = np.array(
+        [[1.2, 0, 0.5], [0, 1.1, 0.45], [0, 0, 1]], np.float32
+    )
+    extr = np.eye(4, dtype=np.float32)
+    extr[:3, 3] = [0.2, -0.1, 0.3]
+
+    a = np.asarray(ours.project(jnp.asarray(pts), jnp.asarray(extr),
+                                jnp.asarray(intr))[0])
+    b = ref_geometry.project(
+        _t(pts), _t(extr), _t(intr)
+    )[0].numpy()
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    coords = rng.uniform(0.1, 0.9, (7, 2)).astype(np.float32)
+    z = rng.uniform(1, 5, (7,)).astype(np.float32)
+    a = np.asarray(ours.unproject(jnp.asarray(coords), jnp.asarray(z),
+                                  jnp.asarray(intr)))
+    b = ref_geometry.unproject(_t(coords), _t(z), _t(intr)).numpy()
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    ao, ad = ours.get_world_rays(
+        jnp.asarray(coords), jnp.asarray(extr), jnp.asarray(intr)
+    )
+    bo, bd = ref_geometry.get_world_rays(_t(coords), _t(extr), _t(intr))
+    np.testing.assert_allclose(np.asarray(ao), bo.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ad), bd.numpy(), atol=1e-6)
+
+    a = np.asarray(ours.get_fov(jnp.asarray(intr)[None]))
+    b = ref_geometry.get_fov(_t(intr)[None]).numpy()
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    agrid, _ = ours.sample_image_grid((4, 6))
+    bgrid, _ = ref_geometry.sample_image_grid((4, 6))
+    np.testing.assert_allclose(np.asarray(agrid), bgrid.numpy(), atol=1e-7)
+
+
+def _t(x):
+    import torch
+
+    return torch.from_numpy(np.asarray(x))
+
+
+def _copy_linear(torch_linear, dense_params):
+    import torch
+
+    with torch.no_grad():
+        torch_linear.weight.copy_(_t(dense_params["kernel"]).T)
+        torch_linear.bias.copy_(_t(dense_params["bias"]))
+
+
+def _copy_conv(torch_conv, conv_params):
+    import torch
+
+    with torch.no_grad():
+        # flax (kh, kw, I, O) -> torch (O, I, kh, kw)
+        torch_conv.weight.copy_(
+            _t(conv_params["kernel"]).permute(3, 2, 0, 1)
+        )
+        if torch_conv.bias is not None:
+            torch_conv.bias.copy_(_t(conv_params["bias"]))
+
+
+def _copy_basic_block(torch_block, flax_params):
+    _copy_conv(torch_block.conv1, flax_params["conv1"])
+    _copy_conv(torch_block.conv2, flax_params["conv2"])
+    if torch_block.downsample is not None:
+        _copy_conv(torch_block.downsample[0], flax_params["downsample"])
+
+
+def test_gru_matches_reference(ref_nets):
+    import torch
+
+    from freesplat_tpu.models.networks import GRU, positional_encoding
+
+    c = 16
+    gru = GRU(hidden_channel=c)
+    rng = np.random.default_rng(0)
+    n = 37
+    inp = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+    hid = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+    ie = positional_encoding(
+        jnp.asarray(rng.uniform(0, 1, (n, 2)), jnp.float32), 6
+    )
+    he = positional_encoding(
+        jnp.asarray(rng.uniform(0, 1, (n, 2)), jnp.float32), 6
+    )
+    variables = gru.init(jax.random.PRNGKey(0), inp, hid, ie, he)
+    ours = np.asarray(gru.apply(variables, inp, hid, ie, he))
+
+    tg = ref_nets.GRU(input_channel=c, hidden_channel=c, weights_dim=24)
+    p = variables["params"]
+    for name in ("mlp_r", "mlp_z", "mlp_n"):
+        seq = getattr(tg, name)
+        _copy_linear(seq[0], p[f"{name}_0"])
+        _copy_linear(seq[2], p[f"{name}_1"])
+    with torch.no_grad():
+        theirs = tg(_t(inp), _t(hid), _t(ie), _t(he)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_mlp_matches_reference(ref_nets):
+    import torch
+
+    from freesplat_tpu.models.layers import MLP
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((11, 9)), jnp.float32)
+    for disable in (False, True):
+        mlp = MLP(channels=(8, 8, 3), disable_final_activation=disable)
+        variables = mlp.init(jax.random.PRNGKey(0), x)
+        ours = np.asarray(mlp.apply(variables, x))
+        tm = ref_nets.MLP([9, 8, 8, 3], disable_final_activation=disable)
+        linears = [m for m in tm.net if isinstance(m, torch.nn.Linear)]
+        for i, lin in enumerate(linears):
+            _copy_linear(lin, variables["params"][f"dense_{i}"])
+        with torch.no_grad():
+            theirs = tm(_t(x)).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5, err_msg=str(disable))
+
+
+@pytest.mark.parametrize("stride,cin", [(1, 12), (2, 12), (1, 8)])
+def test_basic_block_matches_reference(ref_nets, stride, cin):
+    import torch
+
+    from freesplat_tpu.models.layers import BasicBlock
+
+    cout = 12 if cin == 12 and stride == 1 else 10
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, cin)), jnp.float32)
+    blk = BasicBlock(features=cout, stride=stride)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    ours = np.asarray(blk.apply(variables, x))
+
+    tb = ref_nets.BasicBlock(cin, cout, stride=stride)
+    _copy_basic_block(tb, variables["params"])
+    with torch.no_grad():
+        theirs = (
+            tb(_t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        )
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_depth_decoder_matches_reference(ref_nets):
+    """The full dense-grid DepthDecoder (including the reference's
+    cumulative outputs[::-1] dataflow, per-scale depth heads, and the
+    s-1 upsampled outputs) against the reference torch module."""
+    import torch
+
+    from freesplat_tpu.models.networks import DepthDecoder
+
+    rng = np.random.default_rng(4)
+    ch_enc = [6, 7, 8, 9, 10]
+    D = 8
+    noc = 5  # output channels (1 + d_feature analog)
+    feats = [
+        jnp.asarray(
+            rng.standard_normal((1, 16 >> i, 16 >> i, ch_enc[i])),
+            jnp.float32,
+        )
+        for i in range(5)
+    ]
+    dd = DepthDecoder(
+        num_output_channels=noc, near=0.5, far=15.0, num_samples=D,
+        log_planes=True,
+    )
+    variables = dd.init(jax.random.PRNGKey(0), feats)
+    ours = dd.apply(variables, feats)
+
+    td = ref_nets.DepthDecoder(
+        ch_enc, num_output_channels=noc, near=0.5, far=15.0, num_samples=D,
+        log_planes=True,
+    )
+    p = variables["params"]
+    md = 4
+    for j in range(1, md + 1):
+        for i in range(md - j, -1, -1):
+            _copy_basic_block(
+                td.convs[f"diag_conv_{i + 1}{j - 1}"],
+                p[f"diag_conv_{i + 1}{j - 1}"],
+            )
+            _copy_basic_block(
+                td.convs[f"right_conv_{i}{j - 1}"],
+                p[f"right_conv_{i}{j - 1}"],
+            )
+            if i + j != md:
+                _copy_basic_block(
+                    td.convs[f"up_conv_{i + 1}{j}"], p[f"up_conv_{i + 1}{j}"]
+                )
+            _copy_basic_block(
+                td.convs[f"in_conv_{i}{j}"][0], p[f"in_conv_{i}{j}"]["block0"]
+            )
+            _copy_basic_block(
+                td.convs[f"in_conv_{i}{j}"].conv_0,
+                p[f"in_conv_{i}{j}"]["block1"],
+            )
+    for i in range(md):
+        if i != 0:
+            _copy_basic_block(td.convs[f"output_{i}"][0], p[f"output_pre_{i}"])
+        _copy_conv(td.convs[f"output_{i}"][1], p[f"output_{i}"])
+        _copy_basic_block(td.conv_depth[f"{i}"][0], p[f"conv_depth_{i}a"])
+        _copy_conv(td.conv_depth[f"{i}"][1], p[f"conv_depth_{i}b"])
+    _copy_basic_block(td.conv_last[0], p["conv_last_a"])
+    _copy_conv(td.conv_last[1], p["conv_last_b"])
+
+    with torch.no_grad():
+        theirs = td([_t(f).permute(0, 3, 1, 2) for f in feats])
+
+    def tnp(key):
+        return theirs[key].permute(0, 2, 3, 1).numpy()
+
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(ours[f"output_s{i}"]), tnp(f"output_pred_s{i}_b1hw"),
+            atol=3e-5, err_msg=f"output_s{i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours[f"depth_s{i}"]), tnp(f"depth_pred_s{i}_b1hw"),
+            atol=1e-4, err_msg=f"depth_s{i}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(ours["depth_s-1"]), tnp("depth_pred_s-1_b1hw"), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["output_s-1"]), tnp("output_pred_s-1_b1hw"), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["depth_weights"]), tnp("depth_weights"), atol=3e-5
+    )
+
+
+def test_cv_encoder_matches_reference(ref_nets):
+    import torch
+
+    from freesplat_tpu.models.networks import CVEncoder
+
+    rng = np.random.default_rng(3)
+    ch_outs = (8, 12)
+    ch_enc = (6, 7)
+    cv = jnp.asarray(rng.standard_normal((1, 16, 16, 5)), jnp.float32)
+    feats = [
+        jnp.asarray(rng.standard_normal((1, 16, 16, ch_enc[0])), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 8, 8, ch_enc[1])), jnp.float32),
+    ]
+    enc = CVEncoder(num_ch_outs=ch_outs)
+    variables = enc.init(jax.random.PRNGKey(0), cv, feats)
+    ours = enc.apply(variables, cv, feats)
+
+    te = ref_nets.CVEncoder(5, list(ch_enc), list(ch_outs))
+    p = variables["params"]
+    for i in range(len(ch_outs)):
+        _copy_basic_block(te.convs[f"ds_conv_{i}"], p[f"ds_conv_{i}"])
+        _copy_basic_block(te.convs[f"conv_{i}"][0], p[f"conv_{i}a"])
+        _copy_basic_block(te.convs[f"conv_{i}"][1], p[f"conv_{i}b"])
+    with torch.no_grad():
+        theirs = te(
+            _t(cv).permute(0, 3, 1, 2),
+            [_t(f).permute(0, 3, 1, 2) for f in feats],
+        )
+    for i, (a, b) in enumerate(zip(ours, theirs)):
+        np.testing.assert_allclose(
+            np.asarray(a), b.permute(0, 2, 3, 1).numpy(), atol=2e-5,
+            err_msg=f"scale {i}",
+        )
