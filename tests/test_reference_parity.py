@@ -301,6 +301,69 @@ def test_depth_decoder_matches_reference(ref_nets):
     )
 
 
+def test_cost_volume_matches_reference(ref_nets):
+    """The vectorized plane sweep vs the reference's per-plane
+    grid_sample loop (AVGFeatureVolumeManager.build_cost_volume):
+    identical features, poses, MLP weights -> identical volume."""
+    import importlib
+
+    import torch
+
+    cv_mod = importlib.import_module("refmods.cost_volume")
+
+    from freesplat_tpu.models.cost_volume import CostVolume
+
+    rng = np.random.default_rng(6)
+    h = w = 12
+    c = 6
+    D = 8
+    k = 2  # source views
+    cur = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+    src = jnp.asarray(rng.standard_normal((1, k, h, w, c)), jnp.float32)
+    k_pix = np.array(
+        [[w * 1.1, 0, w / 2], [0, h * 1.1, h / 2], [0, 0, 1]], np.float32
+    )
+    k44 = np.eye(4, dtype=np.float32)
+    k44[:3, :3] = k_pix
+    src_T_cur = np.tile(np.eye(4, dtype=np.float32), (1, k, 1, 1))
+    src_T_cur[0, 0, 0, 3] = -0.25
+    src_T_cur[0, 1, 0, 3] = 0.2
+    src_T_cur[0, 1, 1, 3] = -0.1
+    src_K = np.tile(k44, (1, k, 1, 1))
+    cur_invK = np.linalg.inv(k44)[None]
+
+    ours_mod = CostVolume(
+        num_depth_bins=D, mlp_channels=(32, 32, 1), plane_chunk=4
+    )
+    args = (
+        cur, src, jnp.asarray(src_T_cur), jnp.asarray(src_K),
+        jnp.asarray(cur_invK), 0.6, 9.0,
+    )
+    variables = ours_mod.init(jax.random.PRNGKey(0), *args)
+    ours = np.asarray(ours_mod.apply(variables, *args))  # (1, h, w, D)
+
+    ref = cv_mod.AVGFeatureVolumeManager(
+        matching_height=h, matching_width=w, num_depth_bins=D,
+        mlp_channels=[0, 32, 32, 1], matching_dim_size=c,
+    )
+    linears = [m for m in ref.mlp.net if isinstance(m, torch.nn.Linear)]
+    for i, lin in enumerate(linears):
+        _copy_linear(lin, variables["params"]["mlp"][f"dense_{i}"])
+    with torch.no_grad():
+        vol, _, _ = ref.build_cost_volume(
+            _t(cur).permute(0, 3, 1, 2),
+            _t(src).permute(0, 1, 4, 2, 3),
+            _t(src_T_cur),
+            _t(src_T_cur),  # src_poses (unused by the AVG path)
+            _t(src_K),
+            _t(cur_invK),
+            torch.tensor(0.6),
+            torch.tensor(9.0),
+        )
+    theirs = vol.permute(0, 2, 3, 1).numpy()  # (1, h, w, D)
+    np.testing.assert_allclose(ours, theirs, atol=3e-5)
+
+
 def test_cv_encoder_matches_reference(ref_nets):
     import torch
 
