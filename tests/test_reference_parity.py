@@ -24,8 +24,9 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def ref_nets():
+def install_reference_stubs():
+    """Stub the reference's heavy deps and register the synthetic
+    ``refmods`` package pointing at its modules directory."""
     os.environ["PYTORCH_JIT"] = "0"
     for name in [
         "torchvision", "torchvision.transforms",
@@ -49,6 +50,11 @@ def ref_nets():
     pkg = types.ModuleType("refmods")
     pkg.__path__ = [f"{REF}/src/model/encoder/modules"]
     sys.modules.setdefault("refmods", pkg)
+
+
+@pytest.fixture(scope="module")
+def ref_nets():
+    install_reference_stubs()
     return importlib.import_module("refmods.networks")
 
 
