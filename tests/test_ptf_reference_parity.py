@@ -54,6 +54,112 @@ def ref_fuse():
     return ns["fuse_gaussians"]
 
 
+@pytest.fixture(scope="module")
+def ref_adapter():
+    """Load the reference GaussianAdapter through the real package path
+    (heavy deps stubbed with a permissive module class; the runtime path
+    used here — coords provided, fusion=False — never touches e3nn/cv2)."""
+    import importlib
+    import sys
+
+    import torch
+
+    from tests.test_reference_parity import install_reference_stubs
+
+    install_reference_stubs()
+
+    class StubModule(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith("__") and name.endswith("__"):
+                raise AttributeError(name)
+            return lambda *a, **k: None
+
+    for name in [
+        "e3nn", "e3nn.o3", "cv2", "colorspacious", "skimage",
+        "skimage.metrics", "wandb", "dacite", "colorama", "lpips",
+        "open3d", "pytorch_lightning", "torchmetrics", "mmcv",
+        "moviepy", "moviepy.editor", "plyfile",
+    ]:
+        try:
+            __import__(name)
+        except ImportError:
+            m = StubModule(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    sys.modules["e3nn"].o3 = sys.modules["e3nn.o3"]
+    sys.modules["dacite"].Config = object
+    sys.modules["pytorch_lightning"].LightningModule = torch.nn.Module
+    sys.modules["torchvision.transforms"].ToTensor = object
+    return importlib.import_module("src.model.encoder.common.gaussian_adapter")
+
+
+def test_gaussian_adapter_matches_reference(ref_adapter):
+    """build_gaussians vs the reference GaussianAdapter.forward on the
+    FreeSplat runtime path (coords provided -> unrotated harmonics,
+    per-Gaussian fused c2w rotations for the world covariance)."""
+    import torch
+
+    from freesplat_tpu.models.adapter import GaussianAdapterCfg, build_gaussians
+
+    rng = np.random.default_rng(11)
+    n = 64
+    h = w = 16
+    sh_degree = 2
+    cfg = GaussianAdapterCfg(
+        gaussian_scale_min=0.5, gaussian_scale_max=15.0, sh_degree=sh_degree
+    )
+    raw = jnp.asarray(rng.standard_normal((n, 2 + cfg.d_in)), jnp.float32)
+    depths = jnp.asarray(rng.uniform(1, 8, (n,)), jnp.float32)
+    # Per-gaussian (fused) c2w rotations: random small rotations.
+    qs = rng.normal(size=(n, 4))
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    from freesplat_tpu.ops.gaussians import quaternion_to_matrix
+
+    rot = quaternion_to_matrix(jnp.asarray(qs, jnp.float32))
+    intr = jnp.asarray(
+        np.array([[1.1, 0, 0.5], [0, 1.2, 0.5], [0, 0, 1]], np.float32)
+    )
+    ours = build_gaussians(cfg, raw[:, 2:], depths, rot, intr, (h, w))
+
+    rcfg = ref_adapter.GaussianAdapterCfg(
+        gaussian_scale_min=0.5, gaussian_scale_max=15.0, sh_degree=sh_degree
+    )
+    ra = ref_adapter.GaussianAdapter(rcfg)
+    extr = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    extr[:, :3, :3] = np.asarray(rot)
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x))
+
+    with torch.no_grad():
+        theirs = ra.forward(
+            t(extr).view(1, 1, n, 1, 1, 4, 4),
+            t(intr).view(1, 1, 1, 1, 1, 3, 3).expand(1, 1, n, 1, 1, 3, 3),
+            torch.zeros(1, 1, n, 1, 1, 2),
+            t(depths).view(1, 1, n, 1, 1),
+            torch.sigmoid(t(raw[:, :1])).view(1, 1, n, 1, 1),
+            t(raw[:, 2:]).view(1, 1, n, 1, 1, -1),
+            (h, w),
+            fusion=False,
+            coords=torch.zeros(1, 1, n, 1, 1, 3),
+        )
+    np.testing.assert_allclose(
+        np.asarray(ours["covariances"]),
+        theirs.covariances.view(n, 3, 3).numpy(),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["harmonics"]),
+        theirs.harmonics.view(n, 3, -1).numpy(),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["scales"]),
+        theirs.scales.view(n, 3).numpy(),
+        atol=1e-5,
+    )
+
+
 def test_ptf_matches_reference_fuse(ref_fuse):
     import torch
 
