@@ -160,6 +160,56 @@ def test_gaussian_adapter_matches_reference(ref_adapter):
     )
 
 
+def test_crop_shim_matches_reference(ref_adapter):
+    """Our crop shim (RGB leg: PIL-Lanczos rescale + center crop + the
+    fx*w_in/w_out intrinsics adjustment) vs the reference crop_shim on
+    the same example.  (ref_adapter fixture guarantees the stubbed
+    package is importable; the RGB path never touches mmcv.)"""
+    import importlib
+
+    import torch
+
+    cs = importlib.import_module("src.dataset.shims.crop_shim")
+
+    from freesplat_tpu.data.shims import apply_crop_shim
+
+    rng = np.random.default_rng(12)
+    v = 2
+    h_in, w_in = 24, 36
+    shape = (16, 24)
+    imgs = rng.uniform(size=(v, h_in, w_in, 3)).astype(np.float32)
+    intr = np.tile(
+        np.array([[1.1, 0, 0.5], [0, 1.2, 0.45], [0, 0, 1]], np.float32),
+        (v, 1, 1),
+    )
+    views = {
+        "image": imgs,
+        "intrinsics": intr,
+        "extrinsics": np.tile(np.eye(4, dtype=np.float32), (v, 1, 1)),
+        "near": np.full(v, 0.5, np.float32),
+        "far": np.full(v, 15.0, np.float32),
+        "index": np.arange(v),
+    }
+    ours = apply_crop_shim(
+        {"context": dict(views), "target": dict(views)}, shape
+    )["context"]
+
+    tviews = {
+        "image": torch.from_numpy(imgs).permute(0, 3, 1, 2),
+        "intrinsics": torch.from_numpy(intr),
+    }
+    theirs = cs.apply_crop_shim_to_views(tviews, shape)
+    np.testing.assert_allclose(
+        np.asarray(ours["intrinsics"]), theirs["intrinsics"].numpy(),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["image"]),
+        theirs["image"].permute(0, 2, 3, 1).numpy(),
+        atol=2.5 / 255.0,  # PIL roundtrips through uint8 in the reference
+    )
+
+
 def test_ptf_matches_reference_fuse(ref_fuse):
     import torch
 
