@@ -1,7 +1,7 @@
 """Honest (device_get-fenced) stage profiles at ScanNet 2-view shapes.
 
 Usage: python -m freesplat_tpu.scripts.profile_stages [stage ...]
-stages: backbone cvenc dec ptf adapter raster train
+stages: backbone cvenc dec ptf adapter raster train train_bf16
        raster_sub   (binning / instance rows / fwd kernel / bwd kernel
                      / scatter reduction sub-stages)
 
@@ -152,7 +152,7 @@ if "raster" in which:
         argnums=(0, 1, 2, 3)))
     report("raster fwd+bwd", g, [mk() for _ in range(2)])
 
-if "train" in which:
+if "train" in which or "train_bf16" in which:
     from freesplat_tpu.models.adapter import GaussianAdapterCfg
     from freesplat_tpu.models.decoder import DecoderCfg
     from freesplat_tpu.models.encoder import EncoderFreeSplatCfg
@@ -160,11 +160,16 @@ if "train" in which:
     from freesplat_tpu.training.schedule import OptimizerCfg
     from freesplat_tpu.training.trainer import TrainCfg, init_state, make_train_step
     from freesplat_tpu.scripts.bench_suite import _context
-    for tbn in (True, False):
+    variants = []
+    if "train" in which:
+        variants += [(True, "float32"), (False, "float32")]
+    if "train_bf16" in which:  # queued round-3 measurement: bf16 encoder
+        variants += [(True, "bfloat16")]
+    for tbn, cdt in variants:
         cfg = TrainCfg(
             encoder=EncoderFreeSplatCfg(num_depth_candidates=D, num_views=2,
                                         adapter=GaussianAdapterCfg(sh_degree=2),
-                                        train_bn=tbn),
+                                        train_bn=tbn, compute_dtype=cdt),
             decoder=DecoderCfg(sh_degree=2, capacity_factor=2),
             loss=LossCfg(mse=LossMseCfg(1.0), lpips=None),
             optimizer=OptimizerCfg(),
@@ -178,7 +183,7 @@ if "train" in which:
             s, m = step(state, bb)
             return m["loss"]
         f = jax.jit(run_step)
-        report(f"train_step bn={tbn}", f,
+        report(f"train_step bn={tbn} dtype={cdt}", f,
                [(jnp.asarray(rng.uniform(size=(1, 2, h, w, 3)), jnp.float32),)
                 for _ in range(3)], n=4)
 
