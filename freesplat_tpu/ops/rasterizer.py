@@ -14,8 +14,9 @@ is rebuilt around the TPU execution model:
     are padded to 128-instance alignment so kernel DMAs are lane-aligned.
     Static instance capacity; no dynamic shapes anywhere.
 3.  **Compositing** is a Pallas kernel with a grid over 32x32 pixel tiles.
-    Instance data is a transposed SoA array (16 params x capacity) so each
-    chunk DMA is a (16, 128) lane-aligned block.  In-kernel arrays put the
+    Instance data is a transposed SoA array (10 params x capacity) so each
+    chunk DMA is a (10, 128) lane-aligned block (lane alignment is what
+    DMA efficiency needs; the sublane count need not be a multiple of 8).  In-kernel arrays put the
     1024 tile pixels on sublanes and the 128 chunk instances on lanes; the
     classically sequential front-to-back alpha blend becomes
     ``cumsum(log(1 - alpha))`` along lanes, computed with a triangular-ones
@@ -55,7 +56,7 @@ CHUNK = 128  # instances blended per inner step (lane width)
 LOG_TERM = math.log(1e-4)
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
-INST_ROWS = 16  # SoA rows: mx my ca cb cc op r g b depth (+6 pad)
+INST_ROWS = 10  # SoA rows: mx my ca cb cc op r g b depth
 MAX_CHUNKS = 128  # per-tile instance cap = MAX_CHUNKS * CHUNK = 16384
 
 
@@ -498,7 +499,10 @@ def _backward_kernel(
         dchunk_vmem[slot, 4:5, :] = dcc
         dchunk_vmem[slot, 5:6, :] = dop
         dchunk_vmem[slot, 6:10, :] = dcols
-        dchunk_vmem[slot, 10:16, :] = jnp.zeros((6, CHUNK), jnp.float32)
+        if INST_ROWS > 10:  # pad rows (none at INST_ROWS=10)
+            dchunk_vmem[slot, 10:INST_ROWS, :] = jnp.zeros(
+                (INST_ROWS - 10, CHUNK), jnp.float32
+            )
         out_dma(c, slot).start()
         return sdot + jnp.sum(q, axis=1, keepdims=True), log_t0
 
