@@ -56,7 +56,12 @@ CHUNK = 128  # instances blended per inner step (lane width)
 LOG_TERM = math.log(1e-4)
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
-INST_ROWS = 10  # SoA rows: mx my ca cb cc op r g b depth
+# SoA rows: mx my ca cb cc op r g b depth (+6 pad).  10 rows carry data,
+# but Mosaic requires HBM memref slices along the sublane dim to be
+# 8-aligned (hardware-verified: a (10, 128) slice of the instance array
+# fails to compile with "Slice shape along dimension 0 must be aligned
+# to tiling (8)"), so the array is padded to the next multiple of 8.
+INST_ROWS = 16
 MAX_CHUNKS = 128  # per-tile instance cap = MAX_CHUNKS * CHUNK = 16384
 
 
@@ -499,7 +504,7 @@ def _backward_kernel(
         dchunk_vmem[slot, 4:5, :] = dcc
         dchunk_vmem[slot, 5:6, :] = dop
         dchunk_vmem[slot, 6:10, :] = dcols
-        if INST_ROWS > 10:  # pad rows (none at INST_ROWS=10)
+        if INST_ROWS > 10:  # zero the DMA-alignment pad rows
             dchunk_vmem[slot, 10:INST_ROWS, :] = jnp.zeros(
                 (INST_ROWS - 10, CHUNK), jnp.float32
             )
