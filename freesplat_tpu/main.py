@@ -189,7 +189,6 @@ def train(cfg: RootCfg) -> None:
         pass
 
     def log_fn(step, metrics):
-        current_step["value"] = step
         parts = " ".join(f"{k}={v:.5g}" for k, v in metrics.items())
         print(f"train step {step}: {parts}", flush=True)
         if logger is not None:
@@ -217,8 +216,18 @@ def train(cfg: RootCfg) -> None:
         save_checkpoint(ckpt_dir, step, state)
 
     def batch_stream():
+        # Curriculum freshness: the bounded sampler reads step_fn at draw
+        # time and ``fit`` consumes exactly one batch per step, so batch i
+        # is trained at step start+i — count draws here instead of
+        # piggybacking on log_fn (which lags by up to log_every+backpressure
+        # steps).  Reference semantics: StepTracker shared-memory step,
+        # src/misc/step_tracker.py + view_sampler_bounded.py:29-61.
+        start = int(state["step"])
+        current_step["value"] = start
         yield first
-        yield from batches
+        for i, batch in enumerate(batches, start=1):
+            current_step["value"] = start + i
+            yield batch
 
     fit(
         train_cfg,

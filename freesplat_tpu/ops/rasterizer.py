@@ -14,9 +14,13 @@ is rebuilt around the TPU execution model:
     are padded to 128-instance alignment so kernel DMAs are lane-aligned.
     Static instance capacity; no dynamic shapes anywhere.
 3.  **Compositing** is a Pallas kernel with a grid over 32x32 pixel tiles.
-    Instance data is a transposed SoA array (10 params x capacity) so each
-    chunk DMA is a (10, 128) lane-aligned block (lane alignment is what
-    DMA efficiency needs; the sublane count need not be a multiple of 8).  In-kernel arrays put the
+    Instance data is a transposed SoA array (``INST_ROWS`` = 16 rows x
+    capacity: 10 data rows — mx my ca cb cc op r g b depth — plus 6
+    alignment-pad rows) so each chunk DMA is a (16, 128) block.  Mosaic
+    requires HBM memref slices to be 8-aligned along the sublane dim
+    (hardware-verified: a 10-row dynamic-offset slice straddles the
+    (8, 128) tiling and fails to compile), hence the pad to the next
+    multiple of 8.  In-kernel arrays put the
     1024 tile pixels on sublanes and the 128 chunk instances on lanes; the
     classically sequential front-to-back alpha blend becomes
     ``cumsum(log(1 - alpha))`` along lanes, computed with a triangular-ones

@@ -37,6 +37,7 @@ def main(argv=None) -> None:
     ckpt = out / "ckpt"
 
     from ..main import main as cli
+    from ..training.checkpoint import latest_step
 
     overrides = [
         "dataset.name=synthetic",
@@ -52,6 +53,11 @@ def main(argv=None) -> None:
         f"checkpointing.output_dir={ckpt}",
         f"checkpointing.every_n_train_steps={args.val_every}",
     ]
+    # Resume an interrupted proof run: the trainer restores params,
+    # optimizer state, AND the step counter, so fit continues from the
+    # last saved step (synthetic batches are seed-deterministic).
+    if latest_step(str(ckpt)) is not None:
+        overrides.append(f"checkpointing.load={ckpt}")
     cli(overrides)
 
     # Evaluate the trained checkpoint through the test harness on the

@@ -236,3 +236,72 @@ def test_videoize_index(tmp_path):
     src.write_text(json.dumps(index))
     video_main([str(src), str(dst)])
     assert json.loads(dst.read_text())["sceneA"]["target"][0] == 3
+
+
+def _write_scannet_scene(root, n=30, h=48, w=64):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    scene = root / "train" / "scene0000_00"
+    (scene / "color").mkdir(parents=True)
+    (scene / "depth").mkdir()
+    (scene / "intrinsic").mkdir()
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8), "RGB"
+        ).save(scene / "color" / f"{i}.jpg")
+        Image.fromarray(
+            rng.integers(500, 5000, (h, w), dtype=np.int32), "I"
+        ).save(scene / "depth" / f"{i}.png")
+    k = np.array(
+        [[80.0, 0, w / 2, 0], [0, 80, h / 2, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+    )
+    np.savetxt(scene / "intrinsic" / "intrinsic_color.txt", k)
+    extr = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    extr[:, 0, 3] = np.linspace(0, 1, n)
+    np.save(scene / "extrinsics.npy", extr)
+    (root / "train_idx.txt").write_text("scene0000_00\n")
+    (root / "test_idx.txt").write_text("scene0000_00\n")
+
+
+def test_train_curriculum_step_advances_per_iteration(tmp_path, monkeypatch):
+    """The bounded sampler must see the TRUE host step at every batch
+    draw, not the log_fn-lagged one (reference semantics: shared-memory
+    StepTracker, src/misc/step_tracker.py + view_sampler_bounded.py:29-61).
+    log_every is set far above max_steps so any step the sampler sees
+    beyond 0 can only come from per-iteration propagation."""
+    from freesplat_tpu.data.view_samplers import ViewSamplerBounded
+    from freesplat_tpu.main import main
+
+    _write_scannet_scene(tmp_path / "data")
+    seen = []
+    orig = ViewSamplerBounded.set_step
+
+    def spy(self, step):
+        seen.append(int(step))
+        return orig(self, step)
+
+    monkeypatch.setattr(ViewSamplerBounded, "set_step", spy)
+    main(
+        [
+            "dataset.name=scannet",
+            f"dataset.roots=[{tmp_path}/data]",
+            "dataset.image_shape=[32,64]",
+            "encoder.num_depth_candidates=8",
+            "encoder.adapter.sh_degree=1",
+            "encoder.train_bn=false",
+            "decoder.sh_degree=1",
+            "trainer.max_steps=5",
+            "trainer.log_every=1000",
+            "trainer.val_check_interval=1000000",
+            f"checkpointing.output_dir={tmp_path}/ckpt",
+            "checkpointing.every_n_train_steps=1000000",
+            "optimizer.warm_up_steps=2",
+            "optimizer.max_steps=10",
+            "optimizer.gradient_clip_val=1.0",
+        ]
+    )
+    # Draws are monotone in step and reach past the first iterations;
+    # the pre-fix behavior records only zeros (log_fn never fires).
+    assert seen == sorted(seen)
+    assert max(seen) >= 3, seen
