@@ -21,6 +21,45 @@ import numpy as np
 from ..models.backbone import EFFNETV2_S_CONFIG
 
 
+class _KeyTracker(dict):
+    """Records which state-dict keys a converter consumed, so ``strict``
+    conversion can fail loudly on anything unmapped (a silently dropped
+    pretrained weight is the worst possible conversion bug)."""
+
+    def __init__(self, sd: Mapping[str, np.ndarray]):
+        super().__init__(sd)
+        self.consumed: set[str] = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+    def __contains__(self, key):  # membership probes don't consume
+        return super().__contains__(key)
+
+
+# Keys a timm/lpips checkpoint carries that the features_only /
+# frozen-loss models legitimately never read.
+_IGNORABLE_SUFFIXES = (".num_batches_tracked",)
+_IGNORABLE_PREFIXES = ("conv_head.", "classifier.", "bn2.")
+
+
+def _check_consumed(tracker: _KeyTracker, what: str) -> None:
+    unmapped = [
+        k
+        for k in tracker
+        if k not in tracker.consumed
+        and not k.endswith(_IGNORABLE_SUFFIXES)
+        and not k.startswith(_IGNORABLE_PREFIXES)
+    ]
+    if unmapped:
+        raise ValueError(
+            f"{what}: {len(unmapped)} state-dict keys were NOT consumed by "
+            f"the converter (architecture mismatch?): {sorted(unmapped)[:20]}"
+            + (" ..." if len(unmapped) > 20 else "")
+        )
+
+
 def _conv(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
@@ -36,9 +75,18 @@ def _bn(prefix: str, sd: Mapping[str, np.ndarray]):
 
 def convert_efficientnetv2_s(
     sd: Mapping[str, np.ndarray],
+    strict: bool = True,
 ) -> tuple[dict, dict]:
     """timm tf_efficientnetv2_s state dict -> (params, batch_stats) trees
-    for ``EfficientNetV2S`` (to be placed under the module's scope name)."""
+    for ``EfficientNetV2S`` (to be placed under the module's scope name).
+
+    With ``strict`` (default), raises if any provided key is neither
+    consumed nor a known-ignorable head/counter key — a missing key
+    already raises KeyError, so strict conversion is loud in both
+    directions.  The expected key/shape manifest is frozen in
+    ``tests/fixtures/timm_tf_efficientnetv2_s_manifest.json``.
+    """
+    sd = _KeyTracker(sd)
     params: dict = {}
     stats: dict = {}
 
@@ -101,6 +149,8 @@ def convert_efficientnetv2_s(
             params[name] = bp
             if bs:
                 stats[name] = bs
+    if strict:
+        _check_consumed(sd, "convert_efficientnetv2_s")
     return params, stats
 
 
@@ -108,8 +158,14 @@ def convert_efficientnetv2_s(
 _VGG16_CONV_IDX = ((0, 2), (5, 7), (10, 12, 14), (17, 19, 21), (24, 26, 28))
 
 
-def convert_lpips_vgg(sd: Mapping[str, np.ndarray]) -> dict:
-    """lpips-package state dict (net.* + lins.*) -> LPIPS params tree."""
+def convert_lpips_vgg(
+    sd: Mapping[str, np.ndarray], strict: bool = True
+) -> dict:
+    """lpips-package state dict (net.* + lins.*) -> LPIPS params tree.
+
+    ``strict``: raise on provided-but-unconsumed keys (see
+    ``convert_efficientnetv2_s``)."""
+    sd = _KeyTracker(sd)
     vgg: dict = {}
     for bi, conv_ids in enumerate(_VGG16_CONV_IDX):
         for ci, idx in enumerate(conv_ids):
@@ -129,4 +185,6 @@ def convert_lpips_vgg(sd: Mapping[str, np.ndarray]) -> dict:
         if key not in sd:
             key = f"lin{li}.model.1.weight"
         params[f"lin{li}"] = {"kernel": _conv(sd[key])}
+    if strict:
+        _check_consumed(sd, "convert_lpips_vgg")
     return {"params": params}

@@ -188,3 +188,79 @@ def test_lpips_conversion_loads_and_runs():
     other = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
     d2 = module.apply(variables, img, other)
     assert float(d2[0]) > 0
+
+
+def test_effnet_strict_conversion_covers_manifest():
+    """Strict conversion must consume every non-ignorable key of the
+    frozen timm tf_efficientnetv2_s key manifest
+    (tests/fixtures/timm_tf_efficientnetv2_s_manifest.json — derived from
+    the architecture spec; offline image has no timm checkpoint to diff
+    against, so the manifest freezes our best-known layout and any real
+    checkpoint that deviates will fail loudly instead of silently
+    dropping weights)."""
+    import json
+    from pathlib import Path
+
+    manifest = json.loads(
+        (
+            Path(__file__).parent
+            / "fixtures"
+            / "timm_tf_efficientnetv2_s_manifest.json"
+        ).read_text()
+    )
+    rng = np.random.default_rng(1)
+    sd = {
+        k: (
+            rng.normal(size=shape).astype(np.float32)
+            if shape
+            else np.zeros((), np.int64)
+        )
+        for k, shape in manifest.items()
+    }
+    # The synthetic-roundtrip builder and the manifest must agree on every
+    # weight key (the manifest adds only num_batches_tracked counters).
+    built = set(fake_effnet_state_dict(np.random.default_rng(0)))
+    mkeys = {
+        k for k in manifest if not k.endswith(".num_batches_tracked")
+    }
+    assert built == mkeys
+
+    params, stats = convert_efficientnetv2_s(sd, strict=True)
+    assert "conv_stem" in params
+
+    # An unconsumed non-ignorable key must fail loudly.
+    sd["blocks.0.0.mystery.weight"] = np.zeros((3, 3), np.float32)
+    try:
+        convert_efficientnetv2_s(sd, strict=True)
+    except ValueError as e:
+        assert "mystery" in str(e)
+    else:
+        raise AssertionError("strict conversion accepted an unmapped key")
+
+
+def test_lpips_strict_conversion_rejects_unmapped():
+    rng = np.random.default_rng(2)
+    sd = {}
+    chans = [(3, 64, 64), (64, 128, 128), (128, 256, 256, 256),
+             (256, 512, 512, 512), (512, 512, 512, 512)]
+    for bi, idxs in enumerate(_VGG16_CONV_IDX):
+        cs = chans[bi]
+        for ci, idx in enumerate(idxs):
+            sd[f"net.slice{bi + 1}.{idx}.weight"] = rng.normal(
+                size=(cs[ci + 1], cs[ci], 3, 3)
+            ).astype(np.float32)
+            sd[f"net.slice{bi + 1}.{idx}.bias"] = np.zeros(
+                cs[ci + 1], np.float32
+            )
+    for li, c in enumerate((64, 128, 256, 512, 512)):
+        sd[f"lins.{li}.model.1.weight"] = rng.normal(
+            size=(1, c, 1, 1)
+        ).astype(np.float32)
+    convert_lpips_vgg(sd, strict=True)  # all consumed
+    sd["net.slice9.0.weight"] = np.zeros((1, 1, 1, 1), np.float32)
+    try:
+        convert_lpips_vgg(sd, strict=True)
+    except ValueError as e:
+        assert "slice9" in str(e)
+    else:
+        raise AssertionError("strict lpips conversion accepted unmapped key")
