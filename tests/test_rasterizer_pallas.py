@@ -93,6 +93,7 @@ def test_anisotropic_gaussians_match():
         )
 
 
+@pytest.mark.tpu_lane
 @pytest.mark.parametrize("seed", [0, 1])
 def test_forward_matches_reference(seed):
     means, cov, harm, opac, extr, intr = make_scene(seed=seed)
@@ -125,6 +126,7 @@ def test_forward_dense_overlap():
     np.testing.assert_allclose(np.asarray(pal_d), np.asarray(ref_d), atol=5e-4)
 
 
+@pytest.mark.tpu_lane
 def test_gradients_match_reference():
     means, cov, harm, opac, extr, intr = make_scene(n=80, seed=3)
     bg = jnp.array([0.3, 0.1, 0.0])
@@ -196,6 +198,7 @@ def test_capacity_overflow_is_reported():
     assert expect > 0
 
 
+@pytest.mark.tpu_lane
 def test_nonsquare_image_with_partial_tiles():
     """Image size not divisible by the tile size."""
     means, cov, harm, opac, extr, intr = make_scene(n=60, seed=6)
