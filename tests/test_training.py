@@ -5,6 +5,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from freesplat_tpu.training.losses import (
     LossCfg,
@@ -194,3 +195,68 @@ def test_checkpoint_roundtrip_and_partial():
         np.testing.assert_allclose(np.asarray(restored2["params"]["b"]), 0.0)
         # Optimizer state reset on partial restore.
         np.testing.assert_allclose(np.asarray(restored2["opt_state"]["m"]), 0.0)
+
+
+@pytest.mark.slow
+def test_bf16_trunk_matches_f32_loss_curve():
+    """encoder.compute_dtype=bfloat16 (conv trunk in bf16, PTF/adapter/
+    rasterizer f32) must track the f32 loss curve on a short synthetic
+    overfit — the quality gate for flipping presets to bf16
+    (VERDICT r2 weak item 6)."""
+    import numpy as np
+
+    from freesplat_tpu.config.config import load_config
+    from freesplat_tpu.data.synthetic import SyntheticCfg, synthetic_batches
+    from freesplat_tpu.training.trainer import (
+        TrainCfg,
+        init_state,
+        make_train_step,
+    )
+
+    def run(dtype):
+        cfg = load_config(
+            [
+                "dataset.name=synthetic",
+                "dataset.image_shape=[32,64]",
+                "encoder.num_depth_candidates=8",
+                "encoder.adapter.sh_degree=1",
+                "encoder.train_bn=false",
+                f"encoder.compute_dtype={dtype}",
+                "decoder.sh_degree=1",
+                "optimizer.lr=2e-4",
+                "optimizer.warm_up_steps=5",
+                "optimizer.max_steps=100",
+                "optimizer.gradient_clip_val=1.0",
+            ]
+        )
+        batches = synthetic_batches(
+            SyntheticCfg(image_shape=(32, 64), num_context=2, cache_batches=1)
+        )
+        batch = next(batches)
+        array_batch = {
+            k: {kk: vv for kk, vv in v.items() if kk != "test_fvs"}
+            for k, v in batch.items()
+            if k in ("context", "target")
+        }
+        train_cfg = TrainCfg(
+            encoder=cfg.encoder, decoder=cfg.decoder,
+            loss=cfg.loss, optimizer=cfg.optimizer,
+        )
+        state = init_state(train_cfg, jax.random.PRNGKey(0), array_batch)
+        step = make_train_step(train_cfg)
+        losses = []
+        for _ in range(30):
+            state, metrics = step(state, array_batch)
+            losses.append(float(metrics["loss"]))
+        return np.array(losses)
+
+    l32 = run("float32")
+    l16 = run("bfloat16")
+    assert np.all(np.isfinite(l16))
+    # Same optimization trajectory shape: both must be decreasing overall
+    # and end within 1.5x of each other.
+    assert l32[-1] < l32[0] and l16[-1] < l16[0]
+    ratio = l16[-1] / l32[-1]
+    assert 1 / 1.5 < ratio < 1.5, (l32[-1], l16[-1])
+    # Early steps (pre-divergence-of-trajectories) agree closely.
+    np.testing.assert_allclose(l16[0], l32[0], rtol=0.05)
