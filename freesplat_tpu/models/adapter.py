@@ -50,11 +50,19 @@ def unproject_depth(
     extrinsics: jnp.ndarray,  # (..., 4, 4) c2w
     image_shape: tuple[int, int],
 ) -> jnp.ndarray:
-    """Per-pixel world-space 3D points: (..., h, w, 3)."""
+    """Per-pixel world-space 3D points: (..., h, w, 3).
+
+    Pixel coordinates are INTEGER (corner) convention, matching the
+    reference's ``Create_from_depth_map`` grid (``torch.range(0, h-1)``,
+    ``gaussian_adapter.py:36``) — NOT the +0.5 center convention its
+    ``sample_image_grid`` uses elsewhere.  The PTF reprojection round()
+    and any converted reference checkpoint depend on this half-pixel
+    choice, so parity requires reproducing it.
+    """
     h, w = image_shape
     ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32) + 0.5,
-        jnp.arange(w, dtype=jnp.float32) + 0.5,
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )
     # Pixel-unit intrinsics from normalized.

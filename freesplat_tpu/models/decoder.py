@@ -28,7 +28,7 @@ class DecoderCfg:
     sh_degree: int = 2
     depth_mode: str = "depth"  # 'depth' | 'ref_compat' | 'raw'
     use_reference_rasterizer: bool = False  # jnp golden path (slow)
-    capacity_factor: int = 8
+    capacity_factor: int = 3
 
 
 class DecoderOutput(NamedTuple):
@@ -66,7 +66,12 @@ def render_view(
     render = render_reference if cfg.use_reference_rasterizer else rasterize
     kwargs = {}
     if not cfg.use_reference_rasterizer:
-        kwargs["capacity"] = cfg.capacity_factor * means.shape[0]
+        # Same 32k floor as rasterize()'s default: small scenes with big
+        # splats need absolute headroom, production per-pixel scenes are
+        # bounded by the factor (drops are reported either way).
+        kwargs["capacity"] = max(
+            cfg.capacity_factor * means.shape[0], 32768
+        )
         kwargs["return_stats"] = True
     out = render(
         means, covs, gaussians.harmonics, opac, extrinsics, intrinsics,

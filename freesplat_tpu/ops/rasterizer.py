@@ -13,7 +13,7 @@ is rebuilt around the TPU execution model:
     ``searchsorted`` -> stable ``lax.sort`` by (tile, depth).  Tile ranges
     are padded to 128-instance alignment so kernel DMAs are lane-aligned.
     Static instance capacity; no dynamic shapes anywhere.
-3.  **Compositing** is a Pallas kernel with a grid over 32x32 pixel tiles.
+3.  **Compositing** is a Pallas kernel with a grid over 16x16 pixel tiles.
     Instance data is a transposed SoA array (``INST_ROWS`` = 16 rows x
     capacity: 10 data rows — mx my ca cb cc op r g b depth — plus 6
     alignment-pad rows) so each chunk DMA is a (16, 128) block.  Mosaic
@@ -21,7 +21,7 @@ is rebuilt around the TPU execution model:
     (hardware-verified: a 10-row dynamic-offset slice straddles the
     (8, 128) tiling and fails to compile), hence the pad to the next
     multiple of 8.  In-kernel arrays put the
-    1024 tile pixels on sublanes and the 128 chunk instances on lanes; the
+    256 tile pixels on sublanes and the 128 chunk instances on lanes; the
     classically sequential front-to-back alpha blend becomes
     ``cumsum(log(1 - alpha))`` along lanes, computed with a triangular-ones
     matmul on the MXU — no scalar loop, no transposes anywhere.
@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rendering import Screen, TILE, preprocess_gaussians
 
-P = TILE * TILE  # pixels per tile = 1024
+P = TILE * TILE  # pixels per tile = 256
 CHUNK = 128  # instances blended per inner step (lane width)
 LOG_TERM = math.log(1e-4)
 ALPHA_MIN = 1.0 / 255.0
@@ -67,6 +67,12 @@ ALPHA_MAX = 0.99
 # to tiling (8)"), so the array is padded to the next multiple of 8.
 INST_ROWS = 16
 MAX_CHUNKS = 128  # per-tile instance cap = MAX_CHUNKS * CHUNK = 16384
+# In-kernel MXU dot precision.  HIGHEST (exact fp32 contract) measured
+# IDENTICAL in time to DEFAULT at the bench shape (r3 hardware A/B:
+# 94.5 vs 93.4 ms fwd) — the kernels are VPU/dispatch-bound, not
+# MXU-bound — so exactness is free.  Mosaic supports only DEFAULT and
+# HIGHEST in-kernel (lowering.py:_dot_general_lowering_rule).
+DOT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 class TileBinning(NamedTuple):
@@ -292,7 +298,7 @@ def _lane_cumsum(x):
     return jax.lax.dot_general(
         x, tri, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=DOT_PRECISION,
     )
 
 
@@ -360,7 +366,7 @@ def _forward_kernel(start_ref, cnt_ref, tw_ref, inst_hbm, out_ref, chunk_vmem, s
         w = jnp.where(alive, alpha * jnp.exp(log_t_all + cum_incl - l1m), 0.0)
         cols = data[6:10, :]  # r g b depth (4, CHUNK)
         acc = acc + jax.lax.dot_general(
-            w, cols, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+            w, cols, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=DOT_PRECISION
         )  # (P, 4)
         log_t_all = log_t_all + jnp.sum(l1m, axis=1, keepdims=True)
         log_t_eff = log_t_eff + jnp.sum(
@@ -460,11 +466,11 @@ def _backward_kernel(
 
         # Per-instance color/depth cotangent: (4, CHUNK) = gvec^T . w.
         dcols = jax.lax.dot_general(
-            gvec, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+            gvec, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=DOT_PRECISION
         )
         # g . c_i per pixel: (P, CHUNK) = gvec . cols.
         cdotg = jax.lax.dot_general(
-            gvec, cols, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+            gvec, cols, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=DOT_PRECISION
         )
         q = w * cdotg
         # Strict suffix over instances = row total - inclusive cumsum.
@@ -648,11 +654,21 @@ def rasterize(
     element is appended: {"dropped": () int32, "num_instances": () int32}
     — instances silently truncated by the capacity / MAX_CHUNKS clamps
     (callers should log/warn when nonzero and raise ``capacity``).
+
+    Default capacity is 3*n: every XLA-side stage around the kernel (the
+    (tile, depth) sort, the instance-row gather, and its scatter-add
+    transpose in the backward) scales with the STATIC capacity, not the
+    actual instance count — 8*n measured 370 ms fwd+bwd where 2*n
+    measures 98 ms at the bench shape (docs/PERFORMANCE.md r3).  Drops
+    are *reported*, never silent, so an undersized budget is visible.
     """
     h, w = image_shape
     n = means.shape[0]
     if capacity is None:
-        capacity = 8 * n
+        # 3*n for production scenes (per-pixel Gaussians: instances/gaussian
+        # ~2-3 at 16px tiles); floor of 32k slots so small dense scenes
+        # (tests, demos: few gaussians with huge splats) never drop.
+        capacity = max(3 * n, 32768)
     capacity = -(-capacity // CHUNK) * CHUNK
 
     screen = preprocess_gaussians(

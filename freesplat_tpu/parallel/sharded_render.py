@@ -67,7 +67,7 @@ def rasterize_sharded(
     )
     local_cols = tw // n_dev
     if capacity is None:
-        capacity = 8 * n
+        capacity = max(3 * n, 32768)
     # Per-device instance budget for its slab of tile columns.  Instances
     # are not uniform across slabs, so budget 2x the uniform share (4x at
     # >=8 devices, where one slab is a small screen region and hotspots

@@ -97,7 +97,7 @@ def probe_raster():
 
     results = {}
     for prec_name, prec in [
-        ("HIGH", jax.lax.Precision.HIGH),
+        ("DEFAULT", jax.lax.Precision.DEFAULT),
         ("HIGHEST", jax.lax.Precision.HIGHEST),
     ]:
         R.DOT_PRECISION = prec
@@ -130,9 +130,9 @@ def probe_raster():
             jax.device_get(fwdbwd(means)[1]),
         )
     c_hi, g_hi = results["HIGHEST"]
-    c_h, g_h = results["HIGH"]
+    c_h, g_h = results["DEFAULT"]
     print(
-        "parity HIGH vs HIGHEST: color max|d| ="
+        "parity DEFAULT vs HIGHEST: color max|d| ="
         f" {np.abs(c_hi - c_h).max():.3e}, grad max|d| ="
         f" {np.abs(g_hi - g_h).max():.3e},"
         f" grad rel = {np.abs(g_hi - g_h).max() / (np.abs(g_hi).max() + 1e-12):.3e}"

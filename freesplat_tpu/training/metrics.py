@@ -49,6 +49,12 @@ def compute_ssim(
         out = jax.lax.conv_general_dilated(
             xc, kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            # f32 convs hit the MXU at bf16 precision by default; the
+            # variance terms (mu_xx - mu_x^2) cancel catastrophically for
+            # near-identical images, driving SSIM above 1 (r3 hardware
+            # finding: harness reported 1.08 where the true value was
+            # 0.995).  HIGHEST keeps the window sums exact.
+            precision=jax.lax.Precision.HIGHEST,
         )
         oh, ow = out.shape[1:3]
         return out.reshape(b, c, oh, ow).transpose(0, 2, 3, 1)

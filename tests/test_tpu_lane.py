@@ -66,3 +66,23 @@ def test_train_step_compiles_and_runs():
     assert np.isfinite(loss) and loss > 0
     assert np.isfinite(psnr)
     assert int(state["step"]) == 1
+
+
+@pytest.mark.tpu_lane
+def test_ssim_bounded_near_identity():
+    """SSIM must stay <= 1 for near-identical images ON HARDWARE: the
+    default bf16 MXU conv precision cancels catastrophically in the
+    variance terms (r3 finding: the 384x512 overfit harness reported
+    SSIM 1.08; true value 0.995).  CPU runs are exact and cannot catch
+    this — the assert only bites on the chip."""
+    from freesplat_tpu.training.metrics import compute_ssim
+
+    rng = np.random.default_rng(3)
+    gt = jnp.asarray(rng.uniform(0, 1, (2, 128, 160, 3)), jnp.float32)
+    pred = jnp.clip(
+        gt + jnp.asarray(rng.normal(size=gt.shape) * 0.004, jnp.float32),
+        0, 1,
+    )
+    vals = np.asarray(jax.jit(compute_ssim)(gt, pred))
+    assert np.all(vals <= 1.0 + 1e-5), vals
+    assert np.all(vals > 0.97), vals
