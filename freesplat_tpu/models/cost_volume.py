@@ -104,9 +104,13 @@ class CostVolume(nn.Module):
             scale = jnp.where(jnp.abs(z) > eps, 1.0 / (z + eps), 1.0)
             # The sample coordinates depend only on camera geometry and the
             # fixed depth planes — never on trainable parameters — so sever
-            # them from autodiff.  Without this, the VJP of the bilinear
-            # weight multiply forces the 2.4 GB gathered-row tensor to be
-            # saved as a residual (measured: fwd+bwd 134 ms -> ~60 ms).
+            # them from autodiff: without this the VJP of the bilinear
+            # weight multiply saves the 2.4 GB gathered-row tensor as a
+            # residual (memory, not time — the honest r3 re-profile holds
+            # at fwd 40 ms / fwd+bwd 136 ms; the backward's 3.1M-row
+            # scatter-add is the floor, and the fused-Pallas alternative is
+            # closed as infeasible on this toolchain: docs/PERFORMANCE.md
+            # "Fused plane-sweep kernel").
             uv = jax.lax.stop_gradient(p[..., :2] * scale)
             dc = uv.shape[2]
             n = uv.shape[3]
