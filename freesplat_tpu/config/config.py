@@ -83,6 +83,10 @@ class TestCfg:
     # whole-scene (10/30-view) evaluation splits the per-view trunk
     # across the mesh (SURVEY §2.5 view parallelism).
     view_shard: bool = False
+    # SINGLE-chip whole-scene: host-loop the per-view trunk over chunks
+    # of this many views (separate jit calls bound peak HBM; one 30-view
+    # 384x512 encode graph plans 23 GB and cannot fit).  None = off.
+    encode_view_chunk: Optional[int] = None
 
 
 @dataclass(frozen=True)

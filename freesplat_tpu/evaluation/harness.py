@@ -34,6 +34,156 @@ def _save_image(array: np.ndarray, path: Path) -> None:
     ).save(path)
 
 
+def make_chunked_encode(
+    encoder: EncoderFreeSplat, variables: dict, view_chunk: int
+):
+    """Single-chip whole-scene encode (BASELINE config 5's 1-chip half).
+
+    One 30-view 384x512 encode graph plans ~23 GB of HBM; chunking the
+    per-view trunk over separate jit calls bounds the peak instead.
+    Exactness is preserved: matching features for ALL views are computed
+    first (phase A), the nearest-k source geometry is computed once over
+    the FULL trajectory (``sweep_geometry`` — the same function the
+    in-graph path vmaps), and each trunk chunk receives its views'
+    gathered source features (phase B, ``stage="trunk_chunk"``).  The
+    PTF fuse + Gaussian head then run once over the concatenated per-view
+    outputs (phase C) — identical math to the monolithic path.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from ..models.adapter import build_gaussians
+    from ..models.encoder import sweep_geometry
+    from ..models.networks import GRU
+    from ..models.ptf import fuse_views
+    from ..models.types import Gaussians
+
+    match_jit = jax.jit(
+        functools.partial(encoder.apply, variables, stage="match")
+    )
+    trunk_jit = jax.jit(
+        functools.partial(encoder.apply, variables, stage="trunk_chunk")
+    )
+    cfg = encoder.cfg
+    gru = GRU(hidden_channel=cfg.d_feature)
+    gru_params = {"params": variables["params"]["fuse"]["gru"]}
+
+    def gru_apply(inp, hid, in_emb, hid_emb):
+        return gru.apply(gru_params, inp, hid, in_emb, hid_emb)
+
+    dk = variables["params"]["fuse"]["to_gaussians"]
+
+    def encode(context):
+        images = context["image"]
+        b, v, h, w, _ = images.shape
+        assert b == 1, "chunked whole-scene encode is single-scene"
+        mh, mw = h // 4, w // 4
+
+        def sub(sl, extra=None):
+            d = {
+                k: x[:, sl]
+                for k, x in context.items()
+                if k in ("image", "intrinsics", "extrinsics", "near", "far")
+            }
+            if extra:
+                d.update(extra)
+            return d
+
+        # Phase A: matching features for every view (small: v x mh x mw x c).
+        parts = [
+            match_jit(sub(slice(s, min(s + view_chunk, v))))["match"]
+            for s in range(0, v, view_chunk)
+        ]
+        match_bv = jnp.concatenate(parts, axis=1)
+
+        # Global nearest-k source geometry (the in-graph path vmaps this
+        # same function over batch).
+        src_idx, src_T_cur, src_K, cur_invK = jax.jit(
+            functools.partial(
+                sweep_geometry,
+                num_views=encoder.cfg.num_views,
+                match_hw=(mh, mw),
+            )
+        )(context["extrinsics"][0], context["intrinsics"][0])
+
+        # Phase B: per-view trunk, chunked.
+        outs = []
+        for s in range(0, v, view_chunk):
+            sl = slice(s, min(s + view_chunk, v))
+            extra = {
+                "match_src": match_bv[0][src_idx[sl]][None],
+                "src_T_cur": src_T_cur[None, sl],
+                "src_K": src_K[None, sl],
+                "cur_invK": cur_invK[None, sl],
+            }
+            outs.append(trunk_jit(sub(sl, extra)))
+        trunk = {
+            k: jnp.concatenate([o[k] for o in outs], axis=1)
+            for k in outs[0]
+        }
+
+        # Phase C1: PTF fuse (the scan over views); its own jit so the
+        # head's buffers never coexist with the scan's (whole-scene HBM).
+        # Donate the 1.5 GB per-view feature buffer into the scan.
+        fuse_jit = jax.jit(
+            functools.partial(
+                fuse_views, image_shape=(h, w), gru_apply=gru_apply
+            ),
+            donate_argnums=(0,),
+        )
+        state = fuse_jit(
+            trunk["feat_v"][0],
+            trunk["coords_v"][0],
+            trunk["dens_v"][0],
+            trunk["wt_v"][0],
+            trunk["depth_v"][0],
+            context["extrinsics"][0],
+            context["intrinsics"][0],
+        )
+
+        # Phase C2: Gaussian head (the _FuseScene tail, same math as
+        # parallel/whole_scene.py).
+        def head(state, intr0):
+            raw = jnp.maximum(state.feat, 0.0) @ dk["kernel"] + dk["bias"]
+            opacities = jax.nn.sigmoid(raw[..., 0])
+            params = build_gaussians(
+                cfg.adapter,
+                raw[..., 2:],
+                state.depth,
+                state.extrinsics[:, :3, :3],
+                intr0,
+                (h, w),
+            )
+            gaussians = Gaussians(
+                means=state.coords[None],
+                covariances=params["covariances"][None],
+                harmonics=params["harmonics"][None],
+                opacities=jnp.where(state.valid, opacities, 0.0)[None],
+                mask=state.valid[None],
+            )
+            return gaussians, params["scales"], params["rotations"]
+
+        gaussians, scales, rotations = jax.jit(head, donate_argnums=(0,))(
+            state, context["intrinsics"][0, 0]
+        )
+        num_valid = jnp.sum(gaussians.mask, axis=-1)
+        return {
+            "gaussians": gaussians,
+            "num_gaussians": num_valid,
+            "gs_ratio": num_valid / (v * h * w),
+            "depth_s-1": trunk["depth_s-1"],
+            "densities": trunk["densities"],
+            "depth_weights": trunk["depth_weights"],
+            "visualizations": {
+                "scales": scales[None],
+                "rotations": rotations[None],
+            },
+        }
+
+    return encode
+
+
 def run_test(
     cfg: RootCfg,
     batches=None,
@@ -110,9 +260,16 @@ def run_test(
             )
             return encode(context)
 
-    @jax.jit
-    def encode(context):
-        return encoder.apply(variables, context)
+    if cfg.test.encode_view_chunk:
+        chunked = make_chunked_encode(
+            encoder, variables, cfg.test.encode_view_chunk
+        )
+
+        def encode(context):
+            return chunked(context)
+
+    else:
+        encode = jax.jit(lambda context: encoder.apply(variables, context))
 
     per_scene: list[dict[str, float]] = []
     chunk = cfg.test.render_chunk_size

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-from ..ops.gaussians import build_covariance
+from ..ops.gaussians import build_covariance, matmul3
 from ..ops.mathutil import safe_normalize
 
 
@@ -121,7 +121,10 @@ def build_gaussians(
     sh = sh.reshape(*sh.shape[:-1], 3, cfg.d_sh) * sh_mask(cfg)
 
     cov = build_covariance(scales, rotations)
-    cov = c2w_rotations @ cov @ jnp.swapaxes(c2w_rotations, -1, -2)
+    # Elementwise 3x3 products — see ops/gaussians.matmul3 (tiny batched
+    # matmuls pad to MXU tiles and OOM at whole-scene sizes).
+    cov = matmul3(matmul3(c2w_rotations, cov),
+                  jnp.swapaxes(c2w_rotations, -1, -2))
     return {
         "scales": scales,
         "rotations": rotations,

@@ -63,6 +63,14 @@ class CostVolume(nn.Module):
         b, h, w, c = cur_feats.shape
         v = src_feats.shape[1]
         d = self.num_depth_bins
+        # Whole-scene scaling: the chunk's gathered-row tensor is
+        # (b*v*chunk*n, 4c) and must stay ~1 GB regardless of view count
+        # (30-view FVT at plane_chunk=16 would materialize 24 GB and OOM
+        # a 16 GB chip).  Chunking over planes is numerically neutral.
+        budget_rows = 1_500_000
+        plane_chunk = max(
+            1, min(self.plane_chunk, budget_rows // max(b * v * h * w, 1))
+        )
 
         depths = inverse_depth_planes(
             d, jnp.asarray(min_depth), jnp.asarray(max_depth)
@@ -93,6 +101,18 @@ class CostVolume(nn.Module):
         # sample (TPU gathers are row-rate-bound; this is the plane-sweep
         # hot loop).
         src_packed = pack_quad(src_feats.reshape(b * v, h, w, c))
+
+        # The per-(pixel, plane) MLP head runs INSIDE the chunk body so the
+        # (b, d, n, c+1) MLP input never materializes ((30 views, D=128)
+        # would be 9.2 GB).  Row-wise MLP: chunking is numerically neutral.
+        # Materialize its params eagerly (lax.map bodies cannot CREATE
+        # flax variables, only reuse them).
+        mlp = None
+        if not cosine:
+            mlp = MLP(self.mlp_channels, disable_final_activation=True,
+                      dtype=self.dtype, name="mlp")
+            if self.is_initializing():
+                mlp(jnp.zeros((1, c + 1), cur_feats.dtype))
 
         def sweep_chunk(depth_chunk):
             # depth_chunk: (dc,)
@@ -129,30 +149,26 @@ class CostVolume(nn.Module):
             denom = jnp.sum(nonzero, axis=1) + 1e-8  # (b, dc, n)
             dot_avg = jnp.sum(dot, axis=1) / denom
             if cosine:
-                return dot_avg[..., None]
+                return dot_avg  # (b, dc, n)
             feat_avg = (
                 jnp.sum(warped * nonzero[..., None], axis=1) / denom[..., None]
             )  # (b, dc, n, c)
-            return jnp.concatenate([feat_avg, dot_avg[..., None]], axis=-1)
+            combined = jnp.concatenate(
+                [feat_avg, dot_avg[..., None]], axis=-1
+            )
+            return mlp(combined)[..., 0]  # (b, dc, n)
 
         # lax.map over plane chunks: one traced chunk body instead of an
-        # 8x-unrolled graph (compile time), same numerics.
-        n_chunks = -(-d // self.plane_chunk)
-        pad = n_chunks * self.plane_chunk - d
+        # unrolled graph (compile time), same numerics.
+        n_chunks = -(-d // plane_chunk)
+        pad = n_chunks * plane_chunk - d
         depths_padded = jnp.concatenate(
             [depths, jnp.full((pad,), depths[-1])]
         ) if pad else depths
         chunked = jax.lax.map(
-            sweep_chunk, depths_padded.reshape(n_chunks, self.plane_chunk)
-        )  # (n_chunks, b, chunk, n, c+1 | 1)
-        cc = 1 if cosine else c + 1
-        combined = jnp.moveaxis(chunked, 0, 1).reshape(
-            b, n_chunks * self.plane_chunk, -1, cc
+            sweep_chunk, depths_padded.reshape(n_chunks, plane_chunk)
+        )  # (n_chunks, b, chunk, n)
+        volume = jnp.moveaxis(chunked, 0, 1).reshape(
+            b, n_chunks * plane_chunk, -1
         )[:, :d]
-
-        if cosine:
-            volume = combined[..., 0]  # (b, d, n)
-        else:
-            volume = MLP(self.mlp_channels, disable_final_activation=True,
-                         dtype=self.dtype, name="mlp")(combined)[..., 0]
         return volume.transpose(0, 2, 1).reshape(b, h, w, d).astype(jnp.float32)

@@ -16,6 +16,7 @@ TPU-native differences:
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -100,6 +101,39 @@ def select_source_views(extrinsics: jnp.ndarray, num_src: int) -> jnp.ndarray:
     return idx
 
 
+def sweep_geometry(
+    extr: jnp.ndarray,  # (v, 4, 4) c2w
+    intr: jnp.ndarray,  # (v, 3, 3) normalized
+    num_views: int,
+    match_hw: tuple[int, int],
+):
+    """Per-scene plane-sweep source geometry: nearest-k source indices,
+    cur->src transforms, matching-resolution pixel intrinsics (4x4) of
+    the sources, and inverse intrinsics of the current views.
+
+    Module-level (not a closure) so host-chunked whole-scene encodes can
+    compute it ONCE over the full trajectory and feed per-chunk slices
+    to ``stage="trunk_chunk"`` (reference nearest-k semantics:
+    encoder_freesplat.py:237-248)."""
+    v = extr.shape[0]
+    mh, mw = match_hw
+    num_src = min(num_views, v) - 1
+    if v > num_views:
+        src_idx = select_source_views(extr, num_src)  # (v, num_src)
+    else:
+        allv = jnp.arange(v)
+        src_idx = jnp.stack(
+            [jnp.concatenate([allv[:i], allv[i + 1 :]]) for i in range(v)]
+        )
+    # Matching-resolution pixel intrinsics.
+    k_pix = intr.at[:, 0].multiply(mw).at[:, 1].multiply(mh)
+    k44 = jnp.tile(jnp.eye(4), (v, 1, 1)).at[:, :3, :3].set(k_pix)
+    w2c = jnp.linalg.inv(extr)
+    # src_T_cur[j, s] : cur-cam j -> src-cam src_idx[j, s]
+    src_T_cur = jnp.einsum("vsij,vjk->vsik", w2c[src_idx], extr)
+    return src_idx, src_T_cur, k44[src_idx], jnp.linalg.inv(k44)
+
+
 class _FuseScene(nn.Module):
     """Per-scene PTF fusion + Gaussian head (vmapped over batch).
 
@@ -157,12 +191,26 @@ class EncoderFreeSplat(nn.Module):
     cfg: EncoderFreeSplatCfg = EncoderFreeSplatCfg()
 
     @nn.compact
-    def __call__(self, context: dict[str, Any]) -> dict[str, Any]:
+    def __call__(
+        self, context: dict[str, Any], stage: str = "full"
+    ) -> dict[str, Any]:
         """context: image (b, v, h, w, 3) in [0, 1]; intrinsics (b, v, 3, 3)
         normalized; extrinsics (b, v, 4, 4) c2w; near/far (b, v).
 
         Returns dict with 'gaussians' (batched masked Gaussians),
         depth maps per scale, num_gaussians, gs_ratio.
+
+        ``stage`` (host-chunked whole-scene composition points; see
+        ``evaluation/harness.py::make_chunked_encode``):
+        - "full": the normal path.
+        - "match": return only {"match": (b, v, mh, mw, matching_dim)} —
+          the plane-sweep matching features, so a host loop can compute
+          them for ALL views before trunk-chunking.
+        - "trunk_chunk": context additionally carries "match_src"
+          (b, v, num_src, mh, mw, c), "src_T_cur", "src_K", "cur_invK"
+          (precomputed by ``sweep_geometry`` with GLOBAL nearest-k over
+          the whole trajectory); skip in-graph source selection and
+          return the trunk_only output dict for just these views.
         """
         cfg = self.cfg
         # Accept host-loader numpy arrays when called eagerly (e.g. init).
@@ -193,36 +241,27 @@ class EncoderFreeSplat(nn.Module):
                 cfg.matching_dim, (1, 1), dtype=dtype, name="match_proj"
             )(match_feats)
         mh, mw = match_feats.shape[1:3]
-
-        num_src = min(cfg.num_views, v) - 1
         match_bv = match_feats.reshape(b, v, mh, mw, -1)
+        if stage == "match":
+            return {"match": match_bv}
 
-        # Source-view geometry for every scene at once (batched jnp; the
-        # round-1 python loop over b compiled b copies of the sweep graph).
-        def scene_geometry(extr, intr):
-            if v > cfg.num_views:
-                src_idx = select_source_views(extr, num_src)  # (v, num_src)
-            else:
-                allv = jnp.arange(v)
-                src_idx = jnp.stack(
-                    [jnp.concatenate([allv[:i], allv[i + 1 :]]) for i in range(v)]
+        if stage == "trunk_chunk":
+            match_src = context["match_src"]
+            src_T_cur = context["src_T_cur"]
+            src_K = context["src_K"]
+            cur_invK = context["cur_invK"]
+        else:
+            num_src = min(cfg.num_views, v) - 1
+            src_idx, src_T_cur, src_K, cur_invK = jax.vmap(
+                functools.partial(
+                    sweep_geometry, num_views=cfg.num_views, match_hw=(mh, mw)
                 )
-            # Matching-resolution pixel intrinsics.
-            k_pix = intr.at[:, 0].multiply(mw).at[:, 1].multiply(mh)
-            k44 = jnp.tile(jnp.eye(4), (v, 1, 1)).at[:, :3, :3].set(k_pix)
-            w2c = jnp.linalg.inv(extr)
-            # src_T_cur[j, s] : cur-cam j -> src-cam src_idx[j, s]
-            src_T_cur = jnp.einsum("vsij,vjk->vsik", w2c[src_idx], extr)
-            return src_idx, src_T_cur, k44[src_idx], jnp.linalg.inv(k44)
-
-        src_idx, src_T_cur, src_K, cur_invK = jax.vmap(scene_geometry)(
-            context["extrinsics"], context["intrinsics"]
-        )
-        match_src = jnp.take_along_axis(
-            match_bv[:, :, None],
-            src_idx[..., None, None, None].astype(jnp.int32),
-            axis=1,
-        )  # (b, v, num_src, mh, mw, c)
+            )(context["extrinsics"], context["intrinsics"])
+            match_src = jnp.take_along_axis(
+                match_bv[:, :, None],
+                src_idx[..., None, None, None].astype(jnp.int32),
+                axis=1,
+            )  # (b, v, num_src, mh, mw, c)
 
         cv_vmapped = nn.vmap(
             CostVolume,
@@ -278,7 +317,7 @@ class EncoderFreeSplat(nn.Module):
         depth_v = depths.reshape(b, v, hw)
         coords_v = means.reshape(b, v, hw, 3)
 
-        if cfg.trunk_only:
+        if cfg.trunk_only or stage == "trunk_chunk":
             # Per-view ingredients WITHOUT the PTF fuse + Gaussian head —
             # the composition point for explicitly sharded whole-scene
             # pipelines (parallel/whole_scene.py: view-sharded trunk ->

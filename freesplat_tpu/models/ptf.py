@@ -94,64 +94,79 @@ def fuse_views(
     if use_scan is None:
         use_scan = v > 4
 
-    def slot_range(i):
-        return slice(i * hw, (i + 1) * hw)
+    # The scan carry is the PACKED buffer itself, (g, c+22) columns
+    # [feat c | density 1 | weight 1 | coords 3 | depth 1 | extr 16],
+    # plus the validity mask.  The earlier design carried PTFState fields
+    # and concatenated/re-sliced a packed copy every view — at 30 views
+    # x 384x512 (g = 5.9M, 2 GB per copy) the repacking defeated XLA's
+    # scan-carry aliasing and the whole-scene fuse planned ~23 GB of HBM.
+    def pack_view(feat_i, density_i, weight_i, coords_i, depth_i, extr16):
+        return jnp.concatenate(
+            [feat_i, density_i, weight_i, coords_i, depth_i[:, None], extr16],
+            axis=-1,
+        )
 
-    state = PTFState(
-        feat=jnp.zeros((g, c), feats.dtype).at[slot_range(0)].set(feats[0]),
-        coords=jnp.zeros((g, 3), coords.dtype).at[slot_range(0)].set(coords[0]),
-        density=jnp.zeros((g, 1), densities.dtype)
-        .at[slot_range(0)]
-        .set(densities[0]),
-        weight=jnp.zeros((g, 1), weights.dtype).at[slot_range(0)].set(weights[0]),
-        depth=jnp.zeros((g,), depths.dtype).at[slot_range(0)].set(depths[0]),
-        extrinsics=jnp.zeros((g, 4, 4), extrinsics.dtype)
-        .at[slot_range(0)]
-        .set(jnp.broadcast_to(extrinsics[0], (hw, 4, 4))),
-        valid=jnp.zeros((g,), bool).at[slot_range(0)].set(True),
+    width = c + 22
+    packed = jnp.zeros((g, width), feats.dtype)
+    packed = jax.lax.dynamic_update_slice(
+        packed,
+        pack_view(
+            feats[0], densities[0], weights[0], coords[0], depths[0],
+            jnp.broadcast_to(extrinsics[0].reshape(1, 16), (hw, 16)),
+        ),
+        (0, 0),
     )
+    valid = jnp.zeros((g,), bool).at[:hw].set(True)
 
     if not use_scan:
         for i in range(1, v):
-            state = _fuse_one_view(
-                state, i, hw,
+            packed, valid = _fuse_one_view(
+                packed, valid, c, i, hw,
                 feats[i], coords[i], densities[i], weights[i], depths[i],
                 extrinsics[i], intrinsics[i], image_shape,
                 gru_apply, depth_thres, pe_freqs,
             )
-        return state
+    else:
+        def body(carry, xs):
+            packed, valid = carry
+            i, feat_i, coords_i, density_i, weight_i, depth_i, extr_i, intr_i = xs
+            return _fuse_one_view(
+                packed, valid, c, i, hw,
+                feat_i, coords_i, density_i, weight_i, depth_i,
+                extr_i, intr_i, image_shape,
+                gru_apply, depth_thres, pe_freqs,
+            ), None
 
-    def body(carry, xs):
-        i, feat_i, coords_i, density_i, weight_i, depth_i, extr_i, intr_i = xs
-        new_state = _fuse_one_view(
-            carry, i, hw,
-            feat_i, coords_i, density_i, weight_i, depth_i,
-            extr_i, intr_i, image_shape,
-            gru_apply, depth_thres, pe_freqs,
+        xs = (
+            jnp.arange(1, v, dtype=jnp.int32),
+            feats[1:], coords[1:], densities[1:], weights[1:], depths[1:],
+            extrinsics[1:], intrinsics[1:],
         )
-        return new_state, None
+        (packed, valid), _ = jax.lax.scan(body, (packed, valid), xs)
 
-    xs = (
-        jnp.arange(1, v, dtype=jnp.int32),
-        feats[1:], coords[1:], densities[1:], weights[1:], depths[1:],
-        extrinsics[1:], intrinsics[1:],
+    return PTFState(
+        feat=packed[:, :c],
+        density=packed[:, c : c + 1],
+        weight=packed[:, c + 1 : c + 2],
+        coords=packed[:, c + 2 : c + 5],
+        depth=packed[:, c + 5],
+        extrinsics=packed[:, c + 6 : c + 22].reshape(g, 4, 4),
+        valid=valid,
     )
-    state, _ = jax.lax.scan(body, state, xs)
-    return state
 
 
 def _fuse_one_view(
-    state: PTFState, i: int, hw: int,
+    packed: jnp.ndarray, valid: jnp.ndarray, c: int, i, hw: int,
     feat_i, coords_i, density_i, weight_i, depth_i,
     extrinsic_i, intrinsic_i, image_shape,
     gru_apply, depth_thres, pe_freqs,
-) -> PTFState:
-    g = state.feat.shape[0]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    g = packed.shape[0]
 
     pix, z, in_bounds = _project_to_view(
-        state.coords, extrinsic_i, intrinsic_i, image_shape
+        packed[:, c + 2 : c + 5], extrinsic_i, intrinsic_i, image_shape
     )
-    proj_ok = in_bounds & state.valid
+    proj_ok = in_bounds & valid
     seg = jnp.where(proj_ok, pix, hw)
 
     # Z-buffer: nearest projecting slot per pixel (reference's
@@ -176,23 +191,13 @@ def _fuse_one_view(
     matched = fusion_mask & has_winner  # (HW,) pixels that merge
 
     # Gather the matched global slots' data (safe index for unmatched).
-    # One packed row-gather behind fusion barriers (XLA scalarizes gathers
-    # fused into elementwise work; rows beat per-field scalar gathers).
+    # One packed row-gather; rows beat per-field scalar gathers.  No
+    # optimization_barrier on the table: the packed buffer is the scan
+    # carry (already materialized, XLA cannot fuse through it), and a
+    # barrier here forces an extra live 2 GB copy per iteration at
+    # whole-scene sizes (part of the 25 GB HBM plan this refactor fixed).
     wsafe = jnp.where(matched, winner, 0)
-    packed = jnp.concatenate(
-        [
-            state.feat,
-            state.density,
-            state.weight,
-            state.coords,
-            state.depth[:, None],
-            state.extrinsics.reshape(g, 16),
-        ],
-        axis=-1,
-    )
-    packed_b, wsafe_b = jax.lax.optimization_barrier((packed, wsafe))
-    gathered = jax.lax.optimization_barrier(packed_b[wsafe_b])
-    c = state.feat.shape[1]
+    gathered = packed[wsafe]
     g_feat = gathered[:, :c]
     g_density = gathered[:, c : c + 1]
     g_weight = gathered[:, c + 1 : c + 2]
@@ -261,13 +266,5 @@ def _fuse_one_view(
     )
     packed = jax.lax.dynamic_update_slice(packed, own_packed, (start, 0))
 
-    valid = jax.lax.dynamic_update_slice(state.valid, new, (start,))
-    return PTFState(
-        feat=packed[:, :c],
-        density=packed[:, c : c + 1],
-        weight=packed[:, c + 1 : c + 2],
-        coords=packed[:, c + 2 : c + 5],
-        depth=packed[:, c + 5],
-        extrinsics=packed[:, c + 6 : c + 22].reshape(g, 4, 4),
-        valid=valid,
-    )
+    valid = jax.lax.dynamic_update_slice(valid, new, (start,))
+    return packed, valid

@@ -74,11 +74,31 @@ def matrix_to_quaternion(matrix: jnp.ndarray) -> jnp.ndarray:
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
+def matmul3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3, 3) written ELEMENTWISE.
+
+    XLA lowers tiny batched matmuls onto the MXU by padding each 3x3 to
+    a full tile — at whole-scene sizes (g = 5.9M gaussians) one padded
+    operand plans gigabytes and the Gaussian head OOM'd a 16 GB chip
+    (r3 hardware finding; same rule as the EWA math in ops/rendering.py:
+    'no tiny batched matmuls — write elementwise')."""
+    rows = []
+    for i in range(3):
+        cols = [
+            a[..., i, 0] * b[..., 0, j]
+            + a[..., i, 1] * b[..., 1, j]
+            + a[..., i, 2] * b[..., 2, j]
+            for j in range(3)
+        ]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
 def build_covariance(scale: jnp.ndarray, rotation_xyzw: jnp.ndarray) -> jnp.ndarray:
     """3D covariance Sigma = R diag(s)^2 R^T.  scale (..., 3), quat (..., 4)."""
     rotation = quaternion_to_matrix(rotation_xyzw)
     rs = rotation * scale[..., None, :]  # R @ diag(s)
-    return rs @ jnp.swapaxes(rs, -1, -2)
+    return matmul3(rs, jnp.swapaxes(rs, -1, -2))
 
 
 def covariance_upper_triangle(cov: jnp.ndarray) -> jnp.ndarray:

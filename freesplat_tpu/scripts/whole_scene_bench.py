@@ -44,6 +44,9 @@ def main(argv=None) -> None:
             "encoder.num_views=5",  # fvt preset nearest-k (fvt.yaml)
             f"test.output_path={args.out}",
             "test.save_depth=false",
+            # Single chip: host-chunked trunk (a monolithic 30-view encode
+            # graph plans ~23 GB of HBM).
+            "test.encode_view_chunk=6",
         ]
     )
     batches = synthetic_batches(

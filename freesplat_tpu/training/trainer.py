@@ -43,9 +43,32 @@ class TrainState(flax_core.FrozenDict):
 
 def init_state(cfg: TrainCfg, rng: jax.Array, example_batch: dict) -> dict:
     encoder = EncoderFreeSplat(cfg.encoder)
-    # init runs eagerly (no jit), so host-loader numpy arrays must be
-    # promoted to jnp here (jit'd paths convert implicitly).
-    context = jax.tree_util.tree_map(jnp.asarray, example_batch["context"])
+    # Flax init runs the forward EAGERLY (no XLA memory planning): at
+    # whole-scene shapes (30 views x 384x512) the unplanned intermediates
+    # exceed HBM.  Every parameter shape is resolution- and view-count-
+    # independent (convs / per-pixel MLPs / GRU), so init on a miniature
+    # context — views capped at num_views (same source-selection branch
+    # arity), 64x64 pixels — and apply at full size.
+    real = example_batch["context"]
+    b_v = real["image"].shape[:2]
+    v_mini = min(b_v[1], cfg.encoder.num_views)
+    hm = wm = 64
+    extr = jnp.tile(jnp.eye(4, dtype=jnp.float32), (1, v_mini, 1, 1))
+    extr = extr.at[:, :, 0, 3].set(
+        jnp.linspace(0.0, 0.1, v_mini)[None]
+    )  # distinct poses: keep nearest-k ordering well defined
+    context = {
+        "image": jnp.zeros((1, v_mini, hm, wm, 3), jnp.float32),
+        "intrinsics": jnp.tile(
+            jnp.asarray(
+                [[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], jnp.float32
+            ),
+            (1, v_mini, 1, 1),
+        ),
+        "extrinsics": extr,
+        "near": jnp.full((1, v_mini), float(np.asarray(real["near"]).flat[0])),
+        "far": jnp.full((1, v_mini), float(np.asarray(real["far"]).flat[0])),
+    }
     variables = encoder.init(rng, context)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -305,3 +305,57 @@ def test_train_curriculum_step_advances_per_iteration(tmp_path, monkeypatch):
     # the pre-fix behavior records only zeros (log_fn never fires).
     assert seen == sorted(seen)
     assert max(seen) >= 3, seen
+
+
+def test_chunked_whole_scene_encode_matches_monolithic():
+    """make_chunked_encode (host-looped trunk chunks + global nearest-k
+    geometry + one fuse) must reproduce the monolithic encoder.apply
+    exactly — it is the single-chip whole-scene path (one 30-view
+    384x512 encode graph plans ~23 GB; chunks bound the peak)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from freesplat_tpu.data.synthetic import SyntheticCfg, synthetic_batches
+    from freesplat_tpu.evaluation.harness import make_chunked_encode
+    from freesplat_tpu.models.encoder import (
+        EncoderFreeSplat,
+        EncoderFreeSplatCfg,
+    )
+    from freesplat_tpu.models.adapter import GaussianAdapterCfg
+
+    batch = next(
+        synthetic_batches(
+            SyntheticCfg(image_shape=(32, 64), num_context=6, num_target=1)
+        )
+    )
+    context = {
+        k: jnp.asarray(v)
+        for k, v in batch["context"].items()
+        if k in ("image", "intrinsics", "extrinsics", "near", "far")
+    }
+    cfg = EncoderFreeSplatCfg(
+        num_depth_candidates=8,
+        num_views=3,  # nearest-k path (v=6 > num_views)
+        adapter=GaussianAdapterCfg(0.5, 15.0, 1),
+        train_bn=False,
+    )
+    enc = EncoderFreeSplat(cfg)
+    variables = enc.init(jax.random.PRNGKey(0), context)
+
+    mono = enc.apply(variables, context)
+    chunked = make_chunked_encode(enc, variables, view_chunk=2)(context)
+
+    g1, g2 = mono["gaussians"], chunked["gaussians"]
+    assert int(np.sum(np.asarray(g1.mask))) == int(
+        np.sum(np.asarray(g2.mask))
+    )
+    for name in ("means", "covariances", "harmonics", "opacities"):
+        a = np.asarray(getattr(g1, name))[np.asarray(g1.mask)]
+        b = np.asarray(getattr(g2, name))[np.asarray(g2.mask)]
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(mono["depth_s-1"]), np.asarray(chunked["depth_s-1"]),
+        atol=1e-5,
+    )
