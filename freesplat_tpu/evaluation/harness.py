@@ -78,7 +78,6 @@ def make_chunked_encode(
         images = context["image"]
         b, v, h, w, _ = images.shape
         assert b == 1, "chunked whole-scene encode is single-scene"
-        mh, mw = h // 4, w // 4
 
         def sub(sl, extra=None):
             d = {
@@ -95,6 +94,11 @@ def make_chunked_encode(
             match_jit(sub(slice(s, min(s + view_chunk, v))))["match"]
             for s in range(0, v, view_chunk)
         ]
+        # Matching-feature resolution comes from the backbone output, not a
+        # hardcoded 1/4 assumption — if the backbone's matching scale ever
+        # changes, sweep_geometry's pixel intrinsics must follow it.
+        mh, mw = parts[0].shape[2:4]
+        assert all(p.shape[2:4] == (mh, mw) for p in parts)
         match_bv = jnp.concatenate(parts, axis=1)
 
         # Global nearest-k source geometry (the in-graph path vmaps this
@@ -294,6 +298,7 @@ def run_test(
             )
 
         colors, depths = [], []
+        dropped_instances = 0
         with benchmarker.time("decoder", num_calls=v):
             for s in range(0, v, chunk):
                 sl = slice(s, min(s + chunk, v))
@@ -308,6 +313,18 @@ def run_test(
                 )
                 colors.append(np.asarray(out.color[0]))
                 depths.append(np.asarray(out.depth[0]))
+                if out.dropped is not None:
+                    dropped_instances += int(np.asarray(out.dropped).sum())
+        if dropped_instances:
+            # Capacity overflow silently degrades the rendered images and
+            # therefore PSNR/SSIM — surface it like the trainer does and
+            # record it per scene so stats.json carries the caveat.
+            print(
+                f"[test] WARNING {scene}: rasterizer dropped "
+                f"{dropped_instances} instances (capacity overflow) — "
+                "metrics are degraded; raise decoder.capacity_factor",
+                flush=True,
+            )
         color = np.concatenate(colors)  # (v, h, w, 3)
         depth = np.concatenate(depths)
         gt = np.asarray(target["image"][0])
@@ -317,6 +334,7 @@ def run_test(
             "num_views": v,
             "num_gaussians": float(np.asarray(results["num_gaussians"])[0]),
             "gs_ratio": float(np.asarray(results["gs_ratio"])[0]),
+            "dropped_instances": float(dropped_instances),
         }
 
         def metric_block(pred, truth, prefix=""):

@@ -216,17 +216,23 @@ def train(cfg: RootCfg) -> None:
         save_checkpoint(ckpt_dir, step, state)
 
     def batch_stream():
-        # Curriculum freshness: the bounded sampler reads step_fn at draw
-        # time and ``fit`` consumes exactly one batch per step, so batch i
-        # is trained at step start+i — count draws here instead of
-        # piggybacking on log_fn (which lags by up to log_every+backpressure
-        # steps).  Reference semantics: StepTracker shared-memory step,
+        # Curriculum freshness: the bounded sampler reads step_fn at DRAW
+        # time and ``fit`` consumes exactly one batch per step, so the step
+        # must be set BEFORE each draw (an after-the-fact bump samples
+        # batch i with step i-1).  ``first`` was drawn at step 0 for shape
+        # init; a checkpoint-resumed run discards it and re-draws so the
+        # sampler sees the restored step, not the step-0 view-distance
+        # curriculum.  Reference semantics: StepTracker shared-memory step,
         # src/misc/step_tracker.py + view_sampler_bounded.py:29-61.
-        start = int(state["step"])
-        current_step["value"] = start
-        yield first
-        for i, batch in enumerate(batches, start=1):
-            current_step["value"] = start + i
+        step = int(state["step"])
+        current_step["value"] = step
+        yield first if step == 0 else next(batches)
+        while True:
+            step += 1
+            current_step["value"] = step
+            batch = next(batches, None)
+            if batch is None:
+                return
             yield batch
 
     fit(

@@ -33,9 +33,28 @@ class LossLpipsCfg:
 
 
 @dataclass(frozen=True)
+class LossDepthCfg:
+    """Auxiliary depth supervision (reference ``src/loss/losses.py``:
+    MSGradientLoss, ScaleInvariantLoss, NormalsLoss, MVDepthLoss).  Part
+    of the reference's loss inventory but unused by its published
+    configs — all weights default to 0 (off); enable via dotted
+    overrides, e.g. ``loss.depth.ms_gradient_weight=0.1``."""
+
+    # Multi-scale Sobel-gradient L1 between rendered and sensor depth.
+    ms_gradient_weight: float = 0.0
+    # Eigen scale-invariant log-depth loss (rendered vs sensor).
+    scale_invariant_weight: float = 0.0
+    # Cosine loss between normals derived from rendered / sensor depth.
+    normals_weight: float = 0.0
+    # Cross-view consistency of the encoder's predicted context depths.
+    mv_consistency_weight: float = 0.0
+
+
+@dataclass(frozen=True)
 class LossCfg:
     mse: Optional[LossMseCfg] = LossMseCfg()
     lpips: Optional[LossLpipsCfg] = LossLpipsCfg()
+    depth: Optional[LossDepthCfg] = LossDepthCfg()
 
 
 def mse_loss(cfg: LossMseCfg, pred_color: jnp.ndarray, target: jnp.ndarray):
@@ -62,12 +81,85 @@ def lpips_loss(
     return cfg.weight * value * gate
 
 
+def depth_supervision(
+    cfg: LossDepthCfg,
+    rendered_depth: jnp.ndarray,  # (b, v, h, w) rendered target depth
+    gt_depth: Optional[jnp.ndarray],  # (b, v, h, w) sensor depth (m), 0=invalid
+    intrinsics: jnp.ndarray,  # (b, v, 3, 3) normalized target intrinsics
+    enc_depth: Optional[jnp.ndarray] = None,  # (b, vc, h, w) context pred depth
+    ctx_extrinsics: Optional[jnp.ndarray] = None,  # (b, vc, 4, 4) c2w
+    ctx_intrinsics: Optional[jnp.ndarray] = None,  # (b, vc, 3, 3) normalized
+) -> dict[str, jnp.ndarray]:
+    """Weighted auxiliary depth-loss terms (those with weight 0 are not
+    built into the graph at all — the cfg is static under jit)."""
+    from .depth_losses import (
+        depth_to_normals,
+        ms_gradient_loss,
+        mv_depth_loss,
+        normals_loss,
+        scale_invariant_loss,
+    )
+
+    parts: dict[str, jnp.ndarray] = {}
+    if gt_depth is not None and (
+        cfg.ms_gradient_weight
+        or cfg.scale_invariant_weight
+        or cfg.normals_weight
+    ):
+        b, v, h, w = rendered_depth.shape
+        pred = rendered_depth.reshape(b * v, h, w)
+        gt = gt_depth.reshape(b * v, h, w)
+        valid = gt > 0
+        if cfg.ms_gradient_weight:
+            # Invalid sensor pixels (0) -> NaN so the loss's finite-gradient
+            # mask excludes them (the reference feeds depth with NaN holes).
+            gt_nan = jnp.where(valid, gt, jnp.nan)
+            parts["depth_grad"] = cfg.ms_gradient_weight * ms_gradient_loss(
+                gt_nan, pred
+            )
+        if cfg.scale_invariant_weight:
+            log_gt = jnp.log(jnp.maximum(gt, 1e-6))
+            log_pr = jnp.log(jnp.maximum(pred, 1e-6))
+            parts["depth_si"] = cfg.scale_invariant_weight * (
+                scale_invariant_loss(log_gt, log_pr, mask=valid)
+            )
+        if cfg.normals_weight:
+            px = jnp.asarray([w, h, 1.0], jnp.float32)
+            # One shared pixel-unit K (all views of a scene share
+            # intrinsics in every dataset here).
+            k_px = intrinsics.reshape(-1, 3, 3)[0] * px[:, None]
+            n_gt = depth_to_normals(jnp.where(valid, gt, jnp.nan), k_px)
+            n_pr = depth_to_normals(pred, k_px)
+            parts["depth_normals"] = cfg.normals_weight * normals_loss(
+                n_gt, n_pr
+            )
+    if cfg.mv_consistency_weight and enc_depth is not None:
+        # Consecutive context-view pairs (the reference iterates the
+        # cost-volume source views; consecutive pairs are the static-shape
+        # equivalent for the sequential ScanNet trajectories).
+        b, vc, h, w = enc_depth.shape
+        if vc >= 2:
+            px = jnp.asarray([w, h, 1.0], jnp.float32)
+            # mv_depth_loss takes one shared pixel-unit K (all context
+            # views of a scene share intrinsics in every dataset here).
+            k_px = ctx_intrinsics[0, 0] * px[:, None]
+            cur = enc_depth[:, :-1].reshape(-1, h, w)
+            src = enc_depth[:, 1:].reshape(-1, h, w)
+            cur_e = ctx_extrinsics[:, :-1].reshape(-1, 4, 4)
+            src_e = ctx_extrinsics[:, 1:].reshape(-1, 4, 4)
+            parts["depth_mv"] = cfg.mv_consistency_weight * mv_depth_loss(
+                cur, src, cur_e, src_e, k_px
+            )
+    return parts
+
+
 def total_loss(
     cfg: LossCfg,
     pred_color: jnp.ndarray,  # (b, v, h, w, 3)
     target: jnp.ndarray,
     global_step: jnp.ndarray,
     lpips_params: Any = None,
+    depth_ctx: Optional[dict] = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     parts: dict[str, jnp.ndarray] = {}
     total = jnp.asarray(0.0, jnp.float32)
@@ -79,4 +171,8 @@ def total_loss(
             cfg.lpips, lpips_params, pred_color, target, global_step
         )
         total = total + parts["lpips"]
+    if cfg.depth is not None and depth_ctx is not None:
+        for k, v in depth_supervision(cfg.depth, **depth_ctx).items():
+            parts[k] = v
+            total = total + v
     return total, parts

@@ -112,8 +112,25 @@ def make_train_step(
             target["far"],
             (h, w),
         )
+        depth_ctx = None
+        dc = cfg.loss.depth
+        if dc is not None and (
+            dc.ms_gradient_weight
+            or dc.scale_invariant_weight
+            or dc.normals_weight
+            or dc.mv_consistency_weight
+        ):
+            depth_ctx = {
+                "rendered_depth": output.depth,
+                "gt_depth": target.get("depth"),
+                "intrinsics": target["intrinsics"],
+                "enc_depth": results.get("depth_s-1"),
+                "ctx_extrinsics": batch["context"]["extrinsics"],
+                "ctx_intrinsics": batch["context"]["intrinsics"],
+            }
         loss, parts = total_loss(
-            cfg.loss, output.color, target["image"], step, lpips_params
+            cfg.loss, output.color, target["image"], step, lpips_params,
+            depth_ctx=depth_ctx,
         )
         new_stats = updates.get("batch_stats", batch_stats) if mutable else batch_stats
         aux = {
