@@ -113,12 +113,18 @@ class DatasetScannet:
             ]
         )
 
-    def __getitem__(self, idx: int) -> dict:
+    def _scene_and_path(self, idx: int):
+        """(eval-index scene key, on-disk scene dir).  Test-set keys may
+        carry an `_N` eval suffix (reference :231-233): ScanNet strips it
+        only when the suffixed dir is missing (Replica overrides)."""
         path = self.scenes[idx]
         scene = path.name
-        # Test-set keys may carry an `_N` eval suffix (reference :231-233).
         if not path.exists() and path.with_name(scene[:-2]).exists():
             path = path.with_name(scene[:-2])
+        return scene, path
+
+    def __getitem__(self, idx: int) -> dict:
+        scene, path = self._scene_and_path(idx)
 
         extrinsics = np.load(path / "extrinsics.npy").astype(np.float32)
         k = np.loadtxt(path / "intrinsic" / "intrinsic_color.txt").astype(

@@ -73,9 +73,15 @@ def make_data_module(cfg: RootCfg, step_fn=None) -> DataModule:
                 make_view_sampler(cfg, stage),
                 seed=cfg.data_loader.seed,
             )
-        # scannet + replica share the directory-per-scene loader (replica
-        # adds sibling-dir FVS extrapolation poses).
-        return DatasetScannet(
+        # scannet + replica share the directory-per-scene loader; replica
+        # adds the unconditional test-suffix strip + depth intrinsics
+        # (data/replica.py).
+        cls = DatasetScannet
+        if cfg.dataset.name == "replica":
+            from .data.replica import DatasetReplica
+
+            cls = DatasetReplica
+        return cls(
             DatasetScannetCfg(
                 roots=tuple(cfg.dataset.roots),
                 image_shape=cfg.dataset.image_shape,

@@ -359,3 +359,91 @@ def test_data_module_step_fn_reaches_sampler():
     it = dm.train_batches()
     next(it)
     assert ds.view_sampler.steps == [42]
+
+
+def test_replica_loader_fvs_fixture(tmp_path):
+    """Replica-layout fixture end-to-end through the FVS target path
+    (VERDICT r3 item 6; reference dataset_replica.py:60-170): the eval
+    index keys scenes as `<scene>_N`, the on-disk dir is the stripped
+    name, `intrinsic_depth.txt` supplies depth intrinsics normalized by
+    the DEPTH image size, and the FVS extrapolation targets land LAST
+    with test_fvs set."""
+    rng = np.random.default_rng(3)
+    scene = tmp_path / "test" / "office0"
+    (scene / "color").mkdir(parents=True)
+    (scene / "depth").mkdir()
+    (scene / "intrinsic").mkdir()
+    n = 12
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), dtype=np.uint8), "RGB"
+        ).save(scene / "color" / f"{i}.jpg")
+        # Depth camera at a DIFFERENT native resolution than color.
+        Image.fromarray(
+            rng.integers(500, 5000, (24, 32), dtype=np.int32), "I"
+        ).save(scene / "depth" / f"{i}.png")
+    k = np.array([[80.0, 0, 32, 0], [0, 80, 24, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+    np.savetxt(scene / "intrinsic" / "intrinsic_color.txt", k)
+    dk = np.array([[40.0, 0, 16, 0], [0, 40, 12, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+    np.savetxt(scene / "intrinsic" / "intrinsic_depth.txt", dk)
+    extr = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    extr[:, 0, 3] = np.linspace(0, 1, n)
+    np.save(scene / "extrinsics.npy", extr)
+    # The test index lists the SUFFIXED key; only the stripped dir exists.
+    (tmp_path / "test_idx.txt").write_text("office0_1\n")
+    index = {
+        "office0_1": {
+            "context": [0, 6],
+            "target": [2, 4],
+            "extrapolation": [9, 11],
+        }
+    }
+    index_path = tmp_path / "evaluation_index_replica.json"
+    index_path.write_text(json.dumps(index))
+
+    from freesplat_tpu.data.replica import DatasetReplica
+    from freesplat_tpu.data.scannet import DatasetScannetCfg, collate
+    from freesplat_tpu.data.view_samplers import (
+        ViewSamplerEvaluation,
+        ViewSamplerEvaluationCfg,
+    )
+
+    cfg = DatasetScannetCfg(
+        roots=(str(tmp_path),), image_shape=(32, 48), load_size=(48, 64)
+    )
+    sampler = ViewSamplerEvaluation(
+        ViewSamplerEvaluationCfg(index_path=str(index_path))
+    )
+    ds = DatasetReplica(cfg, "test", sampler)
+    assert len(ds) == 1
+    ex = ds[0]
+    # Scene key keeps the suffix (it indexes the frozen eval protocol).
+    assert ex["scene"] == "office0_1"
+    # FVS: extrapolation targets appended last, test_fvs = their count.
+    assert ex["target"]["test_fvs"] == 2
+    np.testing.assert_array_equal(
+        ex["target"]["index"], np.asarray([2, 4, 9, 11])
+    )
+    # Target poses == plain indexing (the reference's cat([...]) of a
+    # reload of the same extrinsics file is equivalent — see
+    # data/replica.py docstring).
+    np.testing.assert_allclose(
+        ex["target"]["extrinsics"], extr[[2, 4, 9, 11]], atol=1e-6
+    )
+    # Depth intrinsics: from intrinsic_depth.txt, normalized by the
+    # depth image's 32x24 native size, per-view rows on both parts.
+    for part, count in (("context", 2), ("target", 4)):
+        dkn = ex[part]["depth_intrinsics"]
+        assert dkn.shape == (count, 3, 3)
+        np.testing.assert_allclose(dkn[0, 0, 0], 40.0 / 32.0, rtol=1e-6)
+        np.testing.assert_allclose(dkn[0, 1, 1], 40.0 / 24.0, rtol=1e-6)
+        np.testing.assert_allclose(dkn[0, 0, 2], 16.0 / 32.0, rtol=1e-6)
+    # Color intrinsics normalized by the color image size as usual
+    # (the crop shim then nudges cx by the center-crop offset).
+    np.testing.assert_allclose(
+        ex["context"]["intrinsics"][0, 0, 2], 0.5, atol=0.02
+    )
+    # Collates (the depth_intrinsics rows stack like any other field).
+    batch = collate([ex])
+    assert batch["context"]["depth_intrinsics"].shape == (1, 2, 3, 3)
+    assert batch["target"]["test_fvs"] == 2
