@@ -34,8 +34,18 @@ class DatasetCfg:
     evaluation_index_path: str = "assets/evaluation_index_scannet_2views.json"
     fvt_random_contexts: bool = False
     # synthetic only: pre-render this many batches once and cycle
-    # (overfit runs; 0 = fresh scene per step).
+    # (overfit runs; 0 = fresh camera ring per step).
     synthetic_cache_batches: int = 0
+    # synthetic only: fresh Gaussian cloud per batch (generalization
+    # training/eval streams; scenes are (seed, scene_id)-keyed so streams
+    # with different data_loader seeds are disjoint scene sets).
+    synthetic_vary_scene: bool = False
+    # synthetic only: targets per batch (the scene-directory datasets get
+    # this from their view samplers instead).
+    synthetic_num_targets: int = 2
+    # synthetic only: ground-truth renderer ("reference" = dense golden
+    # model; "tile" = production Pallas rasterizer, ~10x faster streams).
+    synthetic_renderer: str = "reference"
 
 
 @dataclass(frozen=True)

@@ -32,6 +32,18 @@ class SyntheticCfg:
     # (the dense golden-model render is O(n·pixels) — at 384x512 it costs
     # multiples of the train step, so overfit runs should cache).
     cache_batches: int = 0
+    # Fresh Gaussian cloud per batch (seeded by (seed, scene_id) so
+    # train/eval streams with different seeds are disjoint scene sets) —
+    # the generalization-training mode.  Default keeps the historical
+    # behavior: ONE cloud, fresh camera rings per batch.
+    vary_scene: bool = False
+    # "reference": dense golden-model render (exact, slow — O(n·pixels)
+    # memory; fine for tests/small shapes).  "tile": the production Pallas
+    # rasterizer with a generous capacity, all views in one jitted
+    # lax.map dispatch — ~10x faster ground-truth generation for
+    # generalization training streams (forward parity vs the golden model
+    # is covered by tests/test_rasterizer_pallas.py).
+    renderer: str = "reference"
 
 
 def _random_scene(rng: np.random.Generator, n: int):
@@ -74,26 +86,44 @@ def synthetic_batches(cfg: SyntheticCfg) -> Iterator[dict]:
     intr = np.array(
         [[1.07, 0, 0.5], [0, 1.42, 0.5], [0, 0, 1]], dtype=np.float32
     )
-    means, cov, harm, opac = _random_scene(rng, cfg.num_gaussians)
+    scene0 = _random_scene(rng, cfg.num_gaussians)
     bg = jnp.zeros(3)
 
-    @jax.jit
-    def render(extr):
-        color, depth, alpha = render_reference(
-            means, cov, harm, opac, extr, jnp.asarray(intr), (h, w), bg, 0
-        )
+    # Scene tensors are arguments (not closure constants) so vary_scene
+    # streams compile the render exactly once; all views render in ONE
+    # jitted dispatch (lax.map keeps memory at the 1-view footprint).
+    def render_one(e, means, cov, harm, opac):
+        if cfg.renderer == "tile":
+            from ..ops.rasterizer import rasterize
+
+            color, depth, alpha = rasterize(
+                means, cov, harm, opac, e, jnp.asarray(intr), (h, w), bg, 0,
+                capacity=max(16 * cfg.num_gaussians, 65536),
+            )
+        else:
+            color, depth, alpha = render_reference(
+                means, cov, harm, opac, e, jnp.asarray(intr), (h, w), bg, 0
+            )
         return jnp.clip(color, 0.0, 1.0), depth / jnp.maximum(alpha, 1e-6)
 
+    @jax.jit
+    def render_all(extrs, means, cov, harm, opac):
+        return jax.lax.map(
+            lambda e: render_one(e, means, cov, harm, opac), extrs
+        )
+
     def make_batch(scene_id: int) -> dict:
+        if cfg.vary_scene:
+            scene = _random_scene(
+                np.random.default_rng([cfg.seed, scene_id]), cfg.num_gaussians
+            )
+        else:
+            scene = scene0
         v_total = cfg.num_context + cfg.num_target
         extr = _camera_ring(rng, v_total)
-        colors, depths = [], []
-        for e in extr:
-            c, d = render(jnp.asarray(e))
-            colors.append(np.asarray(c))
-            depths.append(np.asarray(d))
-        colors = np.stack(colors)
-        depths = np.stack(depths)
+        colors, depths = render_all(jnp.asarray(extr), *scene)
+        colors = np.asarray(colors)
+        depths = np.asarray(depths)
         # Targets INTERPOLATE between the contexts (the reference's
         # bounded sampler places targets strictly between the context
         # views, view_sampler_bounded.py) — contexts are the trajectory
@@ -101,14 +131,14 @@ def synthetic_batches(cfg: SyntheticCfg) -> Iterator[dict]:
         # see scene regions no context ray covers (per-pixel Gaussians
         # cannot render them), which caps achievable PSNR.
         order = np.arange(v_total)
-        ctx = np.concatenate([order[:1], order[-1:]]) if (
-            cfg.num_context == 2
-        ) else order[: cfg.num_context]
-        tgt = (
-            order[1:-1][:cfg.num_target]
-            if cfg.num_context == 2
-            else order[cfg.num_context:]
+        # Contexts evenly spaced over the trajectory (endpoints included),
+        # targets the remaining interior views — the bounded-sampler
+        # protocol generalized to any context count (for num_context == 2
+        # this is exactly the old endpoints + interior split).
+        ctx = np.unique(
+            np.round(np.linspace(0, v_total - 1, cfg.num_context)).astype(int)
         )
+        tgt = np.setdiff1d(order, ctx)[: cfg.num_target]
 
         def views(sel):
             idx = np.arange(v_total)[sel]

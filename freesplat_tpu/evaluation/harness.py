@@ -35,7 +35,8 @@ def _save_image(array: np.ndarray, path: Path) -> None:
 
 
 def make_chunked_encode(
-    encoder: EncoderFreeSplat, variables: dict, view_chunk: int
+    encoder: EncoderFreeSplat, variables: dict, view_chunk: int,
+    timings: dict | None = None,
 ):
     """Single-chip whole-scene encode (BASELINE config 5's 1-chip half).
 
@@ -74,10 +75,36 @@ def make_chunked_encode(
 
     dk = variables["params"]["fuse"]["to_gaussians"]
 
+    # Hoisted jits: building these inside encode() would hand jax a FRESH
+    # callable every scene (functools.partial identity), forcing a
+    # retrace + persistent-cache round trip per call.
+    geom_jit = jax.jit(
+        functools.partial(
+            sweep_geometry,
+            num_views=encoder.cfg.num_views,
+        ),
+        static_argnames=("match_hw",),
+    )
+    _fuse_cache: dict = {}
+
+    import time
+
+    def _mark(label, fence=None):
+        """Phase-attribution hook: fence the device (device_get of a tiny
+        leaf — ``block_until_ready`` does not reliably block on the axon
+        tunnel, docs/PERFORMANCE.md) and record a cumulative timestamp."""
+        if timings is None:
+            return
+        if fence is not None:
+            leaf = jax.tree_util.tree_leaves(fence)[-1]
+            jax.device_get(jnp.ravel(leaf)[-1])
+        timings.setdefault(label, []).append(time.perf_counter())
+
     def encode(context):
         images = context["image"]
         b, v, h, w, _ = images.shape
         assert b == 1, "chunked whole-scene encode is single-scene"
+        _mark("t0")
 
         def sub(sl, extra=None):
             d = {
@@ -100,16 +127,15 @@ def make_chunked_encode(
         mh, mw = parts[0].shape[2:4]
         assert all(p.shape[2:4] == (mh, mw) for p in parts)
         match_bv = jnp.concatenate(parts, axis=1)
+        _mark("A_match", match_bv)
 
         # Global nearest-k source geometry (the in-graph path vmaps this
         # same function over batch).
-        src_idx, src_T_cur, src_K, cur_invK = jax.jit(
-            functools.partial(
-                sweep_geometry,
-                num_views=encoder.cfg.num_views,
-                match_hw=(mh, mw),
-            )
-        )(context["extrinsics"][0], context["intrinsics"][0])
+        src_idx, src_T_cur, src_K, cur_invK = geom_jit(
+            context["extrinsics"][0], context["intrinsics"][0],
+            match_hw=(mh, mw),
+        )
+        _mark("A_geometry", cur_invK)
 
         # Phase B: per-view trunk, chunked.
         outs = []
@@ -122,20 +148,24 @@ def make_chunked_encode(
                 "cur_invK": cur_invK[None, sl],
             }
             outs.append(trunk_jit(sub(sl, extra)))
+            _mark(f"B_trunk_{s}", outs[-1]["depth_v"])
         trunk = {
             k: jnp.concatenate([o[k] for o in outs], axis=1)
             for k in outs[0]
         }
+        _mark("B_concat", trunk["feat_v"])
 
         # Phase C1: PTF fuse (the scan over views); its own jit so the
         # head's buffers never coexist with the scan's (whole-scene HBM).
         # Donate the 1.5 GB per-view feature buffer into the scan.
-        fuse_jit = jax.jit(
-            functools.partial(
-                fuse_views, image_shape=(h, w), gru_apply=gru_apply
-            ),
-            donate_argnums=(0,),
-        )
+        if (h, w) not in _fuse_cache:
+            _fuse_cache[(h, w)] = jax.jit(
+                functools.partial(
+                    fuse_views, image_shape=(h, w), gru_apply=gru_apply
+                ),
+                donate_argnums=(0,),
+            )
+        fuse_jit = _fuse_cache[(h, w)]
         state = fuse_jit(
             trunk["feat_v"][0],
             trunk["coords_v"][0],
@@ -145,32 +175,38 @@ def make_chunked_encode(
             context["extrinsics"][0],
             context["intrinsics"][0],
         )
+        _mark("C1_ptf", state.depth)
 
         # Phase C2: Gaussian head (the _FuseScene tail, same math as
-        # parallel/whole_scene.py).
-        def head(state, intr0):
-            raw = jnp.maximum(state.feat, 0.0) @ dk["kernel"] + dk["bias"]
-            opacities = jax.nn.sigmoid(raw[..., 0])
-            params = build_gaussians(
-                cfg.adapter,
-                raw[..., 2:],
-                state.depth,
-                state.extrinsics[:, :3, :3],
-                intr0,
-                (h, w),
-            )
-            gaussians = Gaussians(
-                means=state.coords[None],
-                covariances=params["covariances"][None],
-                harmonics=params["harmonics"][None],
-                opacities=jnp.where(state.valid, opacities, 0.0)[None],
-                mask=state.valid[None],
-            )
-            return gaussians, params["scales"], params["rotations"]
+        # parallel/whole_scene.py).  Cached like fuse_jit (per-call jit
+        # wrappers retrace every scene).
+        if ("head", h, w) not in _fuse_cache:
 
-        gaussians, scales, rotations = jax.jit(head, donate_argnums=(0,))(
+            def head(state, intr0, image_shape=(h, w)):
+                raw = jnp.maximum(state.feat, 0.0) @ dk["kernel"] + dk["bias"]
+                opacities = jax.nn.sigmoid(raw[..., 0])
+                params = build_gaussians(
+                    cfg.adapter,
+                    raw[..., 2:],
+                    state.depth,
+                    state.extrinsics[:, :3, :3],
+                    intr0,
+                    image_shape,
+                )
+                gaussians = Gaussians(
+                    means=state.coords[None],
+                    covariances=params["covariances"][None],
+                    harmonics=params["harmonics"][None],
+                    opacities=jnp.where(state.valid, opacities, 0.0)[None],
+                    mask=state.valid[None],
+                )
+                return gaussians, params["scales"], params["rotations"]
+
+            _fuse_cache[("head", h, w)] = jax.jit(head, donate_argnums=(0,))
+        gaussians, scales, rotations = _fuse_cache[("head", h, w)](
             state, context["intrinsics"][0, 0]
         )
+        _mark("C2_head", gaussians.opacities)
         num_valid = jnp.sum(gaussians.mask, axis=-1)
         return {
             "gaussians": gaussians,

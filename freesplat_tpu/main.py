@@ -111,8 +111,11 @@ def make_batches(cfg: RootCfg, stage: str, step_fn=None):
             SyntheticCfg(
                 image_shape=cfg.dataset.image_shape,
                 num_context=cfg.dataset.num_context_views,
+                num_target=cfg.dataset.synthetic_num_targets,
                 seed=cfg.data_loader.seed + jax.process_index(),
                 cache_batches=cfg.dataset.synthetic_cache_batches,
+                vary_scene=cfg.dataset.synthetic_vary_scene,
+                renderer=cfg.dataset.synthetic_renderer,
             )
         )
     dm = make_data_module(cfg, step_fn=step_fn)

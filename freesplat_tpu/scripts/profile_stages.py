@@ -230,6 +230,15 @@ def raster_substages():
         m, c, hh, o, extr, intr, (h, w), 2))
     report("preprocess fwd", pre, scenes)
 
+    # 1b. preprocess fwd+bwd alone (no gather/scatter): isolates the
+    # preprocess VJP from the instance scatter in stage 6.
+    def pre_loss(m, c, hh, o):
+        s = preprocess_gaussians(m, c, hh, o, extr, intr, (h, w), 2)
+        return (s.means2d.sum() + s.conics.sum() + s.opacities.sum()
+                + s.colors.sum() + s.depths.sum())
+    preg = jax.jit(jax.grad(pre_loss, argnums=(0, 1, 2, 3)))
+    report("preprocess fwd+bwd", preg, scenes)
+
     # 2. binning only (on preprocessed screens)
     screens = [pre(*s) for s in scenes]
     binf = jax.jit(lambda s: bin_gaussians(s, (h, w), cap))
