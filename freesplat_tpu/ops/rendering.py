@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry.projection import get_fov, homogenize_points
@@ -178,7 +179,25 @@ def preprocess_gaussians(
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
-    radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    # Opacity-aware splat radius (exactness-preserving): every pixel
+    # beyond sqrt(2 ln(op / ALPHA_MIN)) standard deviations has
+    # alpha = op * exp(-q/2) < ALPHA_MIN and is zeroed by the compositing
+    # alpha cut anyway, so tiles outside that radius can be skipped with
+    # IDENTICAL output.  Capped at the CUDA spec's 3 sigma (for op near 1
+    # the exact bound is 3.33 sigma — the CUDA rasterizer *drops* the
+    # 3..3.33 sigma shell, and parity requires dropping it too).  For
+    # op <= ALPHA_MIN the radius is 0: such Gaussians can never pass the
+    # alpha cut at any pixel.
+    # stop_gradient: sqrt(0) at op <= ALPHA_MIN would turn the (always
+    # zero — ceil) radius cotangent into 0 * inf = NaN.
+    k_sigma = jax.lax.stop_gradient(
+        jnp.minimum(
+            3.0,
+            jnp.sqrt(2.0 * jnp.maximum(jnp.log(
+                jnp.maximum(opacities, 1e-12) / ALPHA_MIN), 0.0)),
+        )
+    )
+    radii = jnp.ceil(k_sigma * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
 
     # SH -> RGB from the direction campos -> gaussian.
     campos = extrinsics[:3, 3]
