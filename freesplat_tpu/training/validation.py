@@ -74,6 +74,29 @@ def validation_step(
         f.write(f"step {step} scene {scene} psnr {psnr:.4f}\n")
 
     if save_projections:
+        # Encoder summaries (reference encoder_visualizer_epipolar.py:
+        # 177-275): depth/disparity panels + gaussian opacity/color/
+        # covariance panels.
+        from ..utils.encoder_visualizer import (
+            visualize_depth,
+            visualize_gaussians,
+        )
+
+        depth_panel = visualize_depth(context, results["depth_s-1"])
+        g = results["gaussians"]
+        gauss_panel = visualize_gaussians(
+            np.asarray(context["image"]),
+            np.asarray(g.opacities),
+            np.asarray(g.covariances),
+            np.asarray(g.harmonics[..., 0] * 0.28209479177387814 + 0.5),
+        )
+        for name, panel in (
+            ("depth", depth_panel), ("gaussians", gauss_panel),
+        ):
+            Image.fromarray(
+                (np.clip(panel, 0, 1) * 255).astype(np.uint8)
+            ).save(out_dir / f"val_{step:0>7}_{name}.png")
+
         # 3D validation renders: axis-aligned orthographic projections of
         # the predicted Gaussians (reference validation_in_3d.py via
         # model_wrapper.py:591-607).

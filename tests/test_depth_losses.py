@@ -111,6 +111,9 @@ def test_validation_step(tmp_path):
     assert np.isfinite(metrics["psnr"])
     assert (tmp_path / "val_0000007.png").exists()
     assert (tmp_path / "val_0000007_projections.png").exists()
+    # Encoder summaries (encoder_visualizer_epipolar.py analogs).
+    assert (tmp_path / "val_0000007_depth.png").exists()
+    assert (tmp_path / "val_0000007_gaussians.png").exists()
     assert "psnr" in (tmp_path / "val_metrics.txt").read_text()
 
 
