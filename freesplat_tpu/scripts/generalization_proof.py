@@ -58,7 +58,7 @@ def train(args) -> None:
         f"optimizer.max_steps={args.steps + 1}",
         "optimizer.warm_up_steps=500",
         f"optimizer.lr={args.lr}",
-        "optimizer.gradient_clip_val=1.0",
+        f"optimizer.gradient_clip_val={args.clip}",
         f"checkpointing.output_dir={ckpt}",
         f"checkpointing.every_n_train_steps={args.save_every}",
     ]
@@ -162,7 +162,10 @@ def main(argv=None) -> None:
     p.add_argument("--image-shape", default="192,256")
     p.add_argument("--contexts", type=int, default=3)
     p.add_argument("--targets", type=int, default=2)
-    p.add_argument("--lr", type=float, default=2e-4)
+    # 2e-4 diverged at ~step 5.5k on the fresh-scene stream (gs_ratio
+    # pinned at 1, loss stuck); 1e-4 is the reference's ScanNet setting.
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--clip", type=float, default=0.5)
     p.add_argument("--save-every", type=int, default=2000)
     p.add_argument("--ckpt", default=CKPT_DEFAULT)
     p.add_argument("--out", default=OUT_DEFAULT)
