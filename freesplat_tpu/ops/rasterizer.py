@@ -475,14 +475,29 @@ def _backward_kernel(
     # the 19 ms backward kernel and its ~9 ms VPU floor).  TILE-LOCAL
     # coordinates keep the moment magnitudes ~16 so the recombination
     # (T1 - mx_loc * T0, ...) does not cancel catastrophically in f32.
-    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    plx = (pix % TILE).astype(jnp.float32)  # px - tile_x0, in [0, TILE)
-    ply = (pix // TILE).astype(jnp.float32)  # py - tile_y0
-    moment_u = jnp.concatenate(
-        [jnp.ones((P, 1), jnp.float32), plx, ply, plx * plx, ply * ply,
-         plx * ply],
-        axis=1,
-    )  # (P, 6) constant per tile
+    # Built PRE-TRANSPOSED as (8, P): contracting dim 0 of a narrow (P, 6)
+    # operand made Mosaic re-lay it out inside every loop iteration
+    # (measured: backward 90 ms -> 770 ms at the bench shape).  As (8, P)
+    # — 8 sublanes (one native tile row), P on lanes — the dot below is a
+    # clean (8, 256) x (256, CHUNK) MXU matmul.  Rows 6-7 are zero pad.
+    pixr = jax.lax.broadcasted_iota(jnp.int32, (8, P), 1)
+    plx = (pixr % TILE).astype(jnp.float32)  # px - tile_x0, in [0, TILE)
+    ply = (pixr // TILE).astype(jnp.float32)  # py - tile_y0
+    sel = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+    moment_u = jnp.where(
+        sel == 0, 1.0,
+        jnp.where(
+            sel == 1, plx,
+            jnp.where(
+                sel == 2, ply,
+                jnp.where(
+                    sel == 3, plx * plx,
+                    jnp.where(sel == 4, ply * ply,
+                              jnp.where(sel == 5, plx * ply, 0.0)),
+                ),
+            ),
+        ),
+    )  # (8, P) constant per tile
     tile_x0 = ((tw_ref[1] + t % tw_ref[0]) * TILE).astype(jnp.float32)
     tile_y0 = (t // tw_ref[0] * TILE).astype(jnp.float32)
 
@@ -562,9 +577,9 @@ def _backward_kernel(
         # and dop = sum(dalpha * exp(power)) = sum(dpow) / op (op is
         # constant along pixels; dpow is zero wherever dalpha is).
         moments = jax.lax.dot_general(
-            moment_u, dpow, (((0,), (0,)), ((), ())),
+            moment_u, dpow, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=DOT_PRECISION,
-        )  # (6, CHUNK)
+        )  # (8, CHUNK); rows 6-7 are zero (pad rows of moment_u)
         t0, t1, t2 = moments[0:1], moments[1:2], moments[2:3]
         t3, t4, t5 = moments[3:4], moments[4:5], moments[5:6]
         op = data[5:6, :]
