@@ -750,7 +750,8 @@ def rasterize(
     Same contract as ``rasterizer_ref.render_reference``: returns
     (color (h, w, 3), accumulated depth (h, w), alpha (h, w)).  Depth is
     the unnormalized expected view-space z.  ``capacity`` is the static
-    tile-instance budget (default 8 * n).  With ``return_stats`` a fourth
+    tile-instance budget (default max(3*n, 32768)).  With ``return_stats``
+    a fourth
     element is appended: {"dropped": () int32, "num_instances": () int32}
     — instances silently truncated by the capacity / MAX_CHUNKS clamps
     (callers should log/warn when nonzero and raise ``capacity``).
