@@ -333,6 +333,16 @@ class EncoderFreeSplat(nn.Module):
                 "depth_s-1": depths.reshape(b, v, h, w),
                 "densities": densities.reshape(b, v, h, w),
                 "depth_weights": weights.reshape(b, v, h, w),
+                # Multi-scale depths (reference encoder_freesplat.py:340):
+                # sharded whole-scene pipelines need these for the depth
+                # losses, and the backward-parity golden exercises the
+                # lower-scale conv_depth heads through them.
+                **{
+                    f"depth_s{s}": outputs[f"depth_s{s}"].reshape(
+                        b, v, *outputs[f"depth_s{s}"].shape[1:3]
+                    )
+                    for s in range(4)
+                },
             }
 
         # PTF fusion + Gaussian head, vmapped over batch (shared params).

@@ -69,7 +69,7 @@ def _make_torch_backbone():
             for i in range(5):
                 s = 2 ** (i + 1)
                 y = F.avg_pool2d(x, s, s)
-                w = torch.from_numpy(_fake_w(i))
+                w = torch.from_numpy(_fake_w(i)).to(x.dtype)
                 feats.append(torch.tanh(torch.einsum("nchw,kc->nkhw", y, w)))
             return feats
 
