@@ -97,6 +97,13 @@ class TestCfg:
     # of this many views (separate jit calls bound peak HBM; one 30-view
     # 384x512 encode graph plans 23 GB and cannot fit).  None = off.
     encode_view_chunk: Optional[int] = None
+    # Reference-exact BN statistics regime at test time: the reference's
+    # ``set_bn_eval`` actually calls ``m.train()`` on every BN layer, so
+    # its evals normalize with BATCH statistics, never the running
+    # averages (encoder_freesplat.py:80-82,216).  Off = our default
+    # (running averages — the statistically sane choice for fresh
+    # training runs); on = bit-compatible with reference checkpoints.
+    bn_batch_stats: bool = False
 
 
 @dataclass(frozen=True)

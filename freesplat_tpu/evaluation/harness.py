@@ -27,6 +27,32 @@ from ..utils.benchmarker import Benchmarker
 from ..utils.ply_export import export_ply
 
 
+def _bn_apply(encoder: EncoderFreeSplat, variables: dict, **fixed):
+    """``encoder.apply`` bound to ``variables``, honoring the encoder's BN
+    statistics regime.
+
+    With ``train_bn=True`` at inference (the reference's ``set_bn_eval``
+    semantics — BN normalizes with batch statistics even at test,
+    ``encoder_freesplat.py:80-82,216``) flax requires the batch_stats
+    collection to be mutable; the updates are computed and DISCARDED.
+    (torch's train-mode BN mutates its buffers during a test forward too,
+    but the outputs don't depend on that update, so discarding preserves
+    bit-compatibility while keeping our eval pure.)
+    """
+    import functools
+
+    if encoder.cfg.train_bn:
+
+        def fn(*args, **kw):
+            out, _ = encoder.apply(
+                variables, *args, mutable=["batch_stats"], **fixed, **kw
+            )
+            return out
+
+        return fn
+    return functools.partial(encoder.apply, variables, **fixed)
+
+
 def _save_image(array: np.ndarray, path: Path) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     Image.fromarray(
@@ -60,12 +86,8 @@ def make_chunked_encode(
     from ..models.ptf import fuse_views
     from ..models.types import Gaussians
 
-    match_jit = jax.jit(
-        functools.partial(encoder.apply, variables, stage="match")
-    )
-    trunk_jit = jax.jit(
-        functools.partial(encoder.apply, variables, stage="trunk_chunk")
-    )
+    match_jit = jax.jit(_bn_apply(encoder, variables, stage="match"))
+    trunk_jit = jax.jit(_bn_apply(encoder, variables, stage="trunk_chunk"))
     cfg = encoder.cfg
     gru = GRU(hidden_channel=cfg.d_feature)
     gru_params = {"params": variables["params"]["fuse"]["gru"]}
@@ -239,10 +261,13 @@ def run_test(
             max_scenes = 4  # the synthetic stream is infinite
     out_dir = Path(cfg.test.output_path)
     benchmarker = Benchmarker()
-    # Inference: freeze batch-norm statistics (the reference oddly keeps BN
-    # in train mode at test time via set_bn_eval; we use running averages).
+    # Inference BN regime: running averages by default; with
+    # test.bn_batch_stats the reference's actual ``set_bn_eval`` semantics
+    # (train-mode BN everywhere, so batch statistics at test —
+    # encoder_freesplat.py:80-82,216) for bit-compatible evals of
+    # converted reference checkpoints.
     encoder = EncoderFreeSplat(
-        dataclasses.replace(cfg.encoder, train_bn=False)
+        dataclasses.replace(cfg.encoder, train_bn=cfg.test.bn_batch_stats)
     )
 
     if batches is None:
@@ -309,7 +334,7 @@ def run_test(
             return chunked(context)
 
     else:
-        encode = jax.jit(lambda context: encoder.apply(variables, context))
+        encode = jax.jit(_bn_apply(encoder, variables))
 
     per_scene: list[dict[str, float]] = []
     chunk = cfg.test.render_chunk_size
