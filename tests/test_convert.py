@@ -264,3 +264,40 @@ def test_lpips_strict_conversion_rejects_unmapped():
         assert "slice9" in str(e)
     else:
         raise AssertionError("strict lpips conversion accepted unmapped key")
+
+
+def test_convert_weights_verify_mode(tmp_path):
+    """``verify`` converts AND emits an activation report.  timm / the
+    lpips package are absent in this image, so the donor-golden leg
+    degrades to the documented structural + our-side forward checks."""
+    import json
+
+    import torch
+
+    from freesplat_tpu.scripts.convert_weights import main as convert
+
+    rng = np.random.default_rng(0)
+    bsd = fake_effnet_state_dict(rng)
+    bpth = tmp_path / "effnet.pth"
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in bsd.items()}, bpth
+    )
+    dst = tmp_path / "effnet.npz"
+    convert(["verify", "backbone", str(bpth), str(dst)])
+    report = json.loads((tmp_path / "effnet.npz.verify.json").read_text())
+    assert report["kind"] == "backbone"
+    assert len(report["scales"]) == 5
+    assert all(s["finite"] for s in report["scales"])
+    # channels per scale must match the real feature pyramid
+    assert [s["shape"][-1] for s in report["scales"]] == [24, 48, 64, 160, 256]
+
+    sd = fake_lpips_state_dict()
+    pth = tmp_path / "lpips.pth"
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, pth
+    )
+    ldst = tmp_path / "lpips.npz"
+    convert(["verify", "lpips", str(pth), str(ldst)])
+    lreport = json.loads((tmp_path / "lpips.npz.verify.json").read_text())
+    assert lreport["kind"] == "lpips"
+    assert lreport["finite"] and lreport["positive"]
