@@ -307,11 +307,15 @@ def test_train_curriculum_step_advances_per_iteration(tmp_path, monkeypatch):
     assert max(seen) >= 3, seen
 
 
-def test_chunked_whole_scene_encode_matches_monolithic():
+@pytest.mark.parametrize("num_context", [6, 10])
+def test_chunked_whole_scene_encode_matches_monolithic(num_context):
     """make_chunked_encode (host-looped trunk chunks + global nearest-k
     geometry + one fuse) must reproduce the monolithic encoder.apply
     exactly — it is the single-chip whole-scene path (one 30-view
-    384x512 encode graph plans ~23 GB; chunks bound the peak)."""
+    384x512 encode graph plans ~23 GB; chunks bound the peak).
+
+    num_context=10 additionally exercises the growing-bucket PTF branch
+    (v > 8 routes phase C1 through fuse_views_bucketed)."""
     import dataclasses
 
     import jax
@@ -327,7 +331,9 @@ def test_chunked_whole_scene_encode_matches_monolithic():
 
     batch = next(
         synthetic_batches(
-            SyntheticCfg(image_shape=(32, 64), num_context=6, num_target=1)
+            SyntheticCfg(
+                image_shape=(32, 64), num_context=num_context, num_target=1
+            )
         )
     )
     context = {
