@@ -79,6 +79,7 @@ def validation_step(
         # covariance panels.
         from ..utils.encoder_visualizer import (
             visualize_depth,
+            visualize_epipolar_samples,
             visualize_gaussians,
         )
 
@@ -90,8 +91,10 @@ def validation_step(
             np.asarray(g.covariances),
             np.asarray(g.harmonics[..., 0] * 0.28209479177387814 + 0.5),
         )
+        epipolar_panel = visualize_epipolar_samples(context, seed=step)
         for name, panel in (
             ("depth", depth_panel), ("gaussians", gauss_panel),
+            ("epipolar", epipolar_panel),
         ):
             Image.fromarray(
                 (np.clip(panel, 0, 1) * 255).astype(np.uint8)

