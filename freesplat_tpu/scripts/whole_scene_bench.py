@@ -51,7 +51,7 @@ def main(argv=None) -> None:
         "test.save_depth=false",
         # Single chip: host-chunked trunk (a monolithic 30-view encode
         # graph plans ~23 GB of HBM).
-        "test.encode_view_chunk=6",
+        "test.encode_view_chunk=15",  # r5 A/B (docs/PERFORMANCE.md ROUND 5)
     ]
     if args.ckpt:
         overrides.append(f"checkpointing.load={args.ckpt}")

@@ -24,9 +24,14 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--views", type=int, default=30)
     p.add_argument("--image-shape", default="384,512")
-    p.add_argument("--chunk", type=int, default=6)
+    p.add_argument("--chunk", type=int, default=15)  # r5 A/B: 15 beat 6 by 0.56 s/scene (docs/PERFORMANCE.md ROUND 5)
     p.add_argument("--reps", type=int, default=2)
     p.add_argument("--depth-candidates", type=int, default=128)
+    p.add_argument(
+        "--override", action="append", default=[],
+        help="extra dotted config overrides (e.g. "
+             "encoder.compute_dtype=bfloat16) for A/B sweeps",
+    )
     args = p.parse_args(argv)
     h, w = (int(x) for x in args.image_shape.split(","))
 
@@ -50,6 +55,7 @@ def main(argv=None) -> None:
             f"encoder.num_depth_candidates={args.depth_candidates}",
             "encoder.num_views=5",
         ]
+        + list(args.override)
     )
     t_gen = time.perf_counter()
     batch = next(
