@@ -97,6 +97,12 @@ class TestCfg:
     # of this many views (separate jit calls bound peak HBM; one 30-view
     # 384x512 encode graph plans 23 GB and cannot fit).  None = off.
     encode_view_chunk: Optional[int] = None
+    # Override decoder.capacity_factor for TEST-TIME rendering only.
+    # Whole-scene fused sets (5.9M Gaussians at 30 views) peak at ~0.58x
+    # instances per view, so the 3.0 training default wastes ~3x of the
+    # capacity-proportional sort/gather cost: 1.0 measures 553 vs 1560
+    # ms/view (PERFORMANCE.md ROUND 5).  Drops stay reported per view.
+    render_capacity_factor: Optional[float] = None
     # Reference-exact BN statistics regime at test time: the reference's
     # ``set_bn_eval`` actually calls ``m.train()`` on every BN layer, so
     # its evals normalize with BATCH statistics, never the running

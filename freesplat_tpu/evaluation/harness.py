@@ -286,6 +286,13 @@ def run_test(
     encoder = EncoderFreeSplat(
         dataclasses.replace(cfg.encoder, train_bn=cfg.test.bn_batch_stats)
     )
+    # Test-time render capacity override (whole-scene fused sets need a
+    # fraction of the 3.0 training default; see TestCfg docstring).
+    decoder_cfg = cfg.decoder
+    if cfg.test.render_capacity_factor is not None:
+        decoder_cfg = dataclasses.replace(
+            cfg.decoder, capacity_factor=cfg.test.render_capacity_factor
+        )
 
     if batches is None:
         batches = make_batches(cfg, "test")
@@ -381,7 +388,7 @@ def run_test(
             for s in range(0, v, chunk):
                 sl = slice(s, min(s + chunk, v))
                 out = render_views(
-                    cfg.decoder,
+                    decoder_cfg,
                     results["gaussians"],
                     target["extrinsics"][:, sl],
                     target["intrinsics"][:, sl],
@@ -496,7 +503,7 @@ def run_test(
             from .video import render_video_interpolation, render_video_wobble
 
             vid_args = (
-                cfg.decoder,
+                decoder_cfg,
                 results["gaussians"],
                 context["extrinsics"][0],
                 context["intrinsics"][0],

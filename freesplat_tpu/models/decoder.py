@@ -28,7 +28,17 @@ class DecoderCfg:
     sh_degree: int = 2
     depth_mode: str = "depth"  # 'depth' | 'ref_compat' | 'raw'
     use_reference_rasterizer: bool = False  # jnp golden path (slow)
-    capacity_factor: int = 3
+    # Static instance budget = capacity_factor * num_gaussians (32k floor).
+    # 3.0 suits per-pixel train/test scenes; WHOLE-SCENE fused sets
+    # (~5.9M Gaussians) need far less per view — each target frustum sees
+    # a fraction of the scene, measured peak 0.58x at 30 views — and every
+    # capacity-proportional XLA stage (sort/gather/scatter) pays for the
+    # static size: 1560 -> 553 ms/view going 3.0 -> 1.0 (PERFORMANCE.md
+    # ROUND 5).  Fractional factors are the point of the float type;
+    # overrides via test.render_capacity_factor.  Drops are always
+    # reported (``DecoderOutput.dropped``), so an undersized budget is
+    # loud, not silent.
+    capacity_factor: float = 3.0
 
 
 class DecoderOutput(NamedTuple):
@@ -70,7 +80,7 @@ def render_view(
         # splats need absolute headroom, production per-pixel scenes are
         # bounded by the factor (drops are reported either way).
         kwargs["capacity"] = max(
-            cfg.capacity_factor * means.shape[0], 32768
+            int(cfg.capacity_factor * means.shape[0]), 32768
         )
         kwargs["return_stats"] = True
     out = render(

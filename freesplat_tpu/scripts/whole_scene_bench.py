@@ -52,6 +52,7 @@ def main(argv=None) -> None:
         # Single chip: host-chunked trunk (a monolithic 30-view encode
         # graph plans ~23 GB of HBM).
         "test.encode_view_chunk=15",  # r5 A/B (docs/PERFORMANCE.md ROUND 5)
+        "test.render_capacity_factor=1.0",  # whole-scene: 553 vs 1560 ms/view
     ]
     if args.ckpt:
         overrides.append(f"checkpointing.load={args.ckpt}")

@@ -365,3 +365,36 @@ def test_chunked_whole_scene_encode_matches_monolithic(num_context):
         np.asarray(mono["depth_s-1"]), np.asarray(chunked["depth_s-1"]),
         atol=1e-5,
     )
+
+
+def test_render_capacity_factor_override(tmp_path):
+    """test.render_capacity_factor overrides the decoder's static
+    instance budget at TEST time only (whole-scene fused sets need a
+    fraction of the 3.0 training default; drops stay reported)."""
+    import numpy as np
+
+    from freesplat_tpu.config.config import load_config
+    from freesplat_tpu.data.synthetic import SyntheticCfg, synthetic_batches
+    from freesplat_tpu.evaluation.harness import run_test
+
+    cfg = load_config(
+        [
+            "dataset.name=synthetic",
+            "dataset.image_shape=[32,32]",
+            "encoder.num_depth_candidates=8",
+            "encoder.adapter.sh_degree=1",
+            "encoder.train_bn=false",
+            "decoder.sh_degree=1",
+            "test.render_capacity_factor=1.0",
+            f"test.output_path={tmp_path}/test_out",
+        ]
+    )
+    assert cfg.test.render_capacity_factor == 1.0
+    assert cfg.decoder.capacity_factor == 3.0  # training default untouched
+    batches = synthetic_batches(
+        SyntheticCfg(image_shape=(32, 32), num_context=2, num_target=2)
+    )
+    summary = run_test(cfg, batches=batches, max_scenes=1)
+    assert np.isfinite(summary["psnr"])
+    # 32x32 smoke scenes fit far under even a 1.0 budget (32k floor)
+    assert summary["dropped_instances"] == 0
