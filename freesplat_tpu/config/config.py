@@ -103,13 +103,16 @@ class TestCfg:
     # capacity-proportional sort/gather cost: 1.0 measures 553 vs 1560
     # ms/view (PERFORMANCE.md ROUND 5).  Drops stay reported per view.
     render_capacity_factor: Optional[float] = None
-    # Reference-exact BN statistics regime at test time: the reference's
-    # ``set_bn_eval`` actually calls ``m.train()`` on every BN layer, so
-    # its evals normalize with BATCH statistics, never the running
-    # averages (encoder_freesplat.py:80-82,216).  Off = our default
-    # (running averages — the statistically sane choice for fresh
-    # training runs); on = bit-compatible with reference checkpoints.
-    bn_batch_stats: bool = False
+    # BN statistics regime at test time.  True (default) = the
+    # reference's actual behavior: ``set_bn_eval`` calls ``m.train()`` on
+    # every BN layer, so evals normalize with BATCH statistics
+    # (encoder_freesplat.py:80-82,216).  Measured on a trained model this
+    # is also self-consistent with train-mode-BN training and WINS
+    # +1.47 dB over running averages (33.29 -> 34.75 dB, 10 held-out
+    # scenes, docs/evidence/generalization/bn_regime_ab.log).  False =
+    # running averages (textbook eval-mode BN) — kept as the opt-out for
+    # ablations.
+    bn_batch_stats: bool = True
 
 
 @dataclass(frozen=True)

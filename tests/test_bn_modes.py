@@ -145,9 +145,11 @@ def test_bn_apply_helper_switches_regime(data):
 def test_config_plumbing():
     from freesplat_tpu.config.config import load_config
 
-    cfg = load_config(["test.bn_batch_stats=true"])
-    assert cfg.test.bn_batch_stats is True
-    assert load_config([]).test.bn_batch_stats is False
+    cfg = load_config(["test.bn_batch_stats=false"])
+    assert cfg.test.bn_batch_stats is False
+    # Default = the reference's regime (batch statistics at test): +1.47
+    # dB on a trained model AND checkpoint-compatible with the reference.
+    assert load_config([]).test.bn_batch_stats is True
 
 
 def test_harness_runs_with_batch_stats_regime(tmp_path):
