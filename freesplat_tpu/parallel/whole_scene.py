@@ -138,7 +138,7 @@ def render_whole_scene(
         color, depth_acc, alpha = rasterize_sharded(
             m, c, harm, opac, e, k, image_shape, background,
             dec_cfg.sh_degree, mesh=render_mesh,
-            capacity=dec_cfg.capacity_factor * means.shape[0],
+            capacity=max(int(dec_cfg.capacity_factor * means.shape[0]), 32768),
         )
         if dec_cfg.scale_invariant:
             depth_acc = depth_acc * near[vi]
